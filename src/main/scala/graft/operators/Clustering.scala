@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Stage 3 — cluster resolution: iterative connected components over the
+ * duplicate-pair edge set (exact + near-dup + substring edges), the
+ * "union-find semantics in DataFrames" of BASELINE.json north_rule.
+ *
+ * Algorithm: the alternating large-star / small-star method (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", SoCC'14; load-balanced
+ * variant surveyed in PAPERS.md "BTS", ICDE'24). Converges in O(log² n)
+ * rounds on adversarial graphs, O(log n) typical; each round is two
+ * aggregate+join passes — no `collect_set` anywhere, so a node with millions
+ * of neighbors (the hot license-header cluster) never materializes its
+ * adjacency list in one task:
+ *
+ *   - min-neighbor per node is a `groupBy().min()` (map-side partial agg —
+ *     the hot node combines locally on every executor);
+ *   - the join back on the node id is skew-handled by AQE
+ *     (`spark.sql.adaptive.skewJoin`).
+ *
+ * Lineage is cut every round with `localCheckpoint` (or reliable
+ * `checkpoint` when a checkpoint dir is set — resumability per north_rule);
+ * without it the iterative plan grows exponentially in the optimizer.
+ *
+ * Node ids are 64-bit (`xxhash64` of the row key) so the shuffle carries
+ * 16 bytes/edge; keys are joined back once at the end. A collision merges two
+ * clusters with probability ~n²/2⁶⁴ (≈1e-7 at 10⁹ rows) — acceptable for the
+ * candidate graph because every emitted pair was *verified* upstream; exact
+ * group ids remain sha256-based.
+ */
+object Clustering {
+
+  /** One large-star round: for every node u, connect every strictly-larger
+   *  neighbor to u's minimum neighborhood label. Input edges are directed
+   *  (src, dst); the round symmetrizes internally. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+    sym.join(mins, "src")
+      .select(col("src"), col("dst"), least(col("mn"), col("src")).as("m"))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star round over edges already pointing high→low. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val e = edges.where(col("src") =!= col("dst"))
+    val mins = e.groupBy("src").agg(min(col("dst")).as("m"))
+    val relinked = e.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+    relinked.union(mins.select(col("src"), col("m").as("dst"))).distinct()
+  }
+
+  /**
+   * Resolve components. `edges` must have two long columns (src, dst); the
+   * result maps every node id appearing in `edges` to its component's minimum
+   * node id (`node`, `component`).
+   */
+  def connectedComponents(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val useReliable = spark.sparkContext.getCheckpointDir.isDefined
+    var cur = edges
+      .select(col(edges.columns(0)).cast("long").as("src"), col(edges.columns(1)).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    var converged = false
+    var it = 0
+    var prevSig: (Long, Long) = (-1L, -1L)
+    while (!converged && it < maxIterations) {
+      val next0 = smallStar(largeStar(cur))
+      val next = if (useReliable) next0.checkpoint() else next0.localCheckpoint()
+      // Convergence: the (count, xor-of-edge-hash) signature is a fixpoint.
+      // bit_xor (not sum) — overflow-free under ANSI mode, order-insensitive.
+      val sig = next.agg(
+        count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h"))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+        .head()
+      converged = sig == prevSig
+      prevSig = sig
+      cur = next
+      it += 1
+    }
+    // After convergence every edge points member→root (a star). Roots map to
+    // themselves; include them explicitly.
+    cur.select(col("src").as("node"), col("dst").as("component"))
+      .union(cur.select(col("dst").as("node"), col("dst").as("component")))
+      .groupBy("node").agg(min(col("component")).as("component"))
+  }
+
+  /**
+   * Assemble the final cluster table (north_star): every corpus row with its
+   * cluster id and the canonical representative — the lexicographically
+   * smallest member key, generalizing the reference's keeper rule
+   * (snapshot/mod.rs:84-91). Rows in no pair are singleton clusters
+   * represented by themselves.
+   *
+   * @param members `(rkey, repo, path, commit)` for every corpus row
+   * @param pairs   verified duplicate pairs `(a_key, b_key)`
+   */
+  def clusterTable(members: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = members.sparkSession
+    val m = members.withColumn("node", xxhash64(col("rkey")))
+    val edges = pairs.select(
+      xxhash64(col(pairs.columns(0))).as("src"),
+      xxhash64(col(pairs.columns(1))).as("dst"))
+    val cc = connectedComponents(edges)
+    val labeled = m.join(cc, Seq("node"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("node")))
+    // Representative = min rkey per component; broadcast-sized only per-group,
+    // so use an aggregation + join on the component id (AQE handles the skew
+    // of giant clusters).
+    val reps = labeled.groupBy("component").agg(min(col("rkey")).as("rep_key"))
+    labeled.join(reps, "component")
+      .withColumn("action", when(col("rkey") === col("rep_key"), lit("keep")).otherwise(lit("symlink")))
+      .select(col("rkey"), col("repo"), col("path"), col("commit"),
+        col("component").as("cluster_id"), col("rep_key"), col("action"))
+  }
+}
