@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.util.Arrays
+
+/**
+ * Pure row-level text-dedup primitives: tokenization, n-gram shingling,
+ * MinHash signatures, LSH band hashes, SimHash, and exact Jaccard — the
+ * scalar layer under the near-dup stage (SURVEY.md §2.8). All functions are
+ * deterministic, allocation-conscious, and independent of SparkSession so the
+ * same code runs in UDFs, typed `map`s, and driver-side oracles.
+ *
+ * Tokenization contract (shared with the DuckDB oracle SQL): lowercase,
+ * tokens are maximal runs of `[a-z0-9]`, everything else separates; empty
+ * tokens dropped. A 5-gram shingle is 5 consecutive tokens joined by a single
+ * space; a document with fewer than n tokens has no shingles.
+ */
+object Shingles extends Serializable {
+
+  /** Maximal [a-z0-9] runs of the lowercased text. */
+  def tokenize(content: String): Array[String] = {
+    if (content == null || content.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val n = content.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (i < n) {
+      val c = Character.toLowerCase(content.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  /** Distinct, sorted XXH64 hashes (seed 42 — same as Spark's `xxhash64`) of
+   *  the n-gram shingle strings. Sorted so set ops are merge-joins; hashing
+   *  immediately means shingle *strings* never enter a shuffle. */
+  def shingleHashes(content: String, n: Int): Array[Long] = {
+    val toks = tokenize(content)
+    if (toks.length < n) return Array.empty
+    val hs = new Array[Long](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      hs(i) = XXHash64.hashString(sb.toString, 42L)
+      i += 1
+    }
+    distinctSorted(hs)
+  }
+
+  def distinctSorted(hs: Array[Long]): Array[Long] = {
+    if (hs.isEmpty) return hs
+    Arrays.sort(hs)
+    var w = 1
+    var r = 1
+    while (r < hs.length) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    if (w == hs.length) hs else Arrays.copyOf(hs, w)
+  }
+
+  /**
+   * MinHash signature: the i-th slot is min over the shingle set of an
+   * independent re-hash `xxh64(shingle_hash, seed=i)`. k independent cheap
+   * permutations (the "k hash functions" MinHash variant, Broder '97);
+   * E[fraction of equal slots] = Jaccard.
+   */
+  def minhashSignature(shingles: Array[Long], k: Int): Array[Long] = {
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < shingles.length) {
+        val h = XXHash64.hashLong(shingles(j), i.toLong)
+        if (h < m) m = h
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band hashes: bands × rowsPerBand slices of the signature, each
+   *  hashed (chained hashLong keyed by band index) to one 64-bit bucket id. */
+  def bandHashes(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXHash64.hashLong(b.toLong, 9021L)
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXHash64.hashLong(h ^ sig(b * rowsPerBand + r), b.toLong)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** |A ∩ B| of two distinct-sorted long arrays (merge scan). */
+  def intersectionSize(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Exact Jaccard of two distinct-sorted shingle-hash sets. */
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    val c = intersectionSize(a, b)
+    c.toDouble / (a.length + b.length - c)
+  }
+
+  /** 64-bit SimHash over token unigram hashes (Charikar '02): bit i of the
+   *  result is the sign of the sum over tokens of ±1 at bit i of the token's
+   *  hash. Near-dup docs differ in few bits (Hamming distance). */
+  def simhash64(content: String): Long = {
+    val toks = tokenize(content)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = XXHash64.hashString(toks(t), 42L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (acc(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+}

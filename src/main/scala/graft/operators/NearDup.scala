@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Shingles
+import graft.model.DedupConfig
+
+/**
+ * Stage 2 — near-duplicate candidate generation + verification (north_star):
+ * 5-gram shingles → MinHash signatures → LSH band buckets → salted,
+ * repartitioned candidate self-join → exact-Jaccard verify.
+ *
+ * Scale design (10⁹ rows):
+ *  - shingle strings are hashed to 64-bit inside the scan projection — no
+ *    string ever shuffles; a document's wire footprint is
+ *    `k·8 (signature) + |shingles|·8` bytes;
+ *  - the candidate join is an equi-join on `(band, band_hash)` after an
+ *    explicit `repartition` on those keys (north_rule requirement);
+ *  - hot buckets (empty files, license headers, boilerplate) are the skew
+ *    killer: any bucket with more than `cfg.maxBucketSize` members would
+ *    contribute O(m²) pairs, so they are counted first (map-side combinable
+ *    aggregation — skew-immune) and dropped as "stop buckets", the standard
+ *    stop-shingle practice. Dropped buckets are reported via
+ *    [[droppedBuckets]], never silently. Identical-content members of such
+ *    buckets are still clustered by the exact stage, which is why dropping is
+ *    safe for recall at the configured threshold;
+ *  - per-pair verification re-checks exact Jaccard on the shingle sets, so
+ *    LSH false positives never reach the cluster stage (precision 1.0; recall
+ *    is controlled by (bands, rowsPerBand) — (64,2) puts the miss probability
+ *    at threshold 0.6 below 1e-12).
+ *
+ * Expected input: a corpus DataFrame with `rkey` and `content` columns.
+ */
+object NearDup {
+
+  private val shingleUdf =
+    udf((content: String, n: Int) => Shingles.shingleHashes(content, n))
+  private val minhashUdf =
+    udf((sh: Array[Long], k: Int) => Shingles.minhashSignature(sh, k))
+  private val bandUdf =
+    udf((sig: Array[Long], b: Int, r: Int) => Shingles.bandHashes(sig, b, r))
+  private val jaccardCountUdf =
+    udf((a: Array[Long], b: Array[Long]) => Shingles.intersectionSize(a, b))
+
+  /** Per-document shingle sets: `(rkey, shingles: array<long>, n_shingles)`.
+   *  Documents with no shingles (< n tokens) are dropped here — they cannot
+   *  participate in Jaccard similarity. */
+  def shingleSets(corpus: DataFrame, cfg: DedupConfig): DataFrame =
+    corpus
+      .withColumn("shingles", shingleUdf(col("content"), lit(cfg.shingleN)))
+      .withColumn("n_shingles", size(col("shingles")))
+      .where(col("n_shingles") > 0)
+      .select("rkey", "shingles", "n_shingles")
+
+  /** MinHash signatures `(rkey, sig: array<long>[k])`. */
+  def signatures(shingles: DataFrame, cfg: DedupConfig): DataFrame =
+    shingles.select(
+      col("rkey"),
+      minhashUdf(col("shingles"), lit(cfg.minhashK)).as("sig"))
+
+  /** Exploded LSH buckets `(band, band_hash, rkey)` — one row per (doc, band). */
+  def banded(signatures: DataFrame, cfg: DedupConfig): DataFrame =
+    signatures
+      .select(col("rkey"),
+        posexplode(bandUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
+          .as(Seq("band", "band_hash")))
+
+  /** Buckets dropped by the skew guard, with sizes — the lineage/metrics view
+   *  required by north_rule ("cap skewed buckets, report them"). */
+  def droppedBuckets(banded: DataFrame, cfg: DedupConfig): DataFrame =
+    banded.groupBy("band", "band_hash").count()
+      .where(col("count") > cfg.maxBucketSize)
+
+  /**
+   * Candidate pairs `(a_key, b_key)` — distinct over all bands. Buckets of
+   * size 1 carry no pairs; buckets over the cap are dropped (see class doc).
+   */
+  def candidatePairs(banded: DataFrame, cfg: DedupConfig): DataFrame = {
+    val counts = banded.groupBy("band", "band_hash").count()
+    val good = counts
+      .where(col("count") > 1 && col("count") <= cfg.maxBucketSize)
+      .select("band", "band_hash")
+    val member = banded
+      .join(good, Seq("band", "band_hash"), "left_semi")
+      // Explicit co-location before the self-join (north_rule): one exchange
+      // feeds both join sides instead of two independent shuffles.
+      .repartition(col("band"), col("band_hash"))
+    val a = member.as("a")
+    val b = member.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.rkey") < col("b.rkey"))
+      .select(col("a.rkey").as("a_key"), col("b.rkey").as("b_key"))
+      .distinct()
+  }
+
+  /**
+   * Verified near-dup pairs: exact Jaccard over the shingle sets, keeping
+   * pairs at or above `cfg.jaccardThreshold`. Output:
+   * `(a_key, b_key, n_intersect, n_union, jaccard)`.
+   */
+  def verifiedPairs(corpus: DataFrame, cfg: DedupConfig): DataFrame = {
+    val sh = shingleSets(corpus, cfg)
+      // Reused on three sides (signature build + two verify joins): cache at
+      // test scale; at cluster scale this is the checkpointed signatures table.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = signatures(sh, cfg)
+    val cand = candidatePairs(banded(sigs, cfg), cfg)
+    val shA = sh.select(col("rkey").as("a_key"), col("shingles").as("sh_a"), col("n_shingles").as("n_a"))
+    val shB = sh.select(col("rkey").as("b_key"), col("shingles").as("sh_b"), col("n_shingles").as("n_b"))
+    cand.join(shA, "a_key").join(shB, "b_key")
+      .withColumn("n_intersect", jaccardCountUdf(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("n_union", (col("n_a") + col("n_b") - col("n_intersect")).cast("long"))
+      .withColumn("jaccard", col("n_intersect").cast("double") / col("n_union"))
+      .where(col("jaccard") >= cfg.jaccardThreshold)
+      .select("a_key", "b_key", "n_intersect", "n_union", "jaccard")
+  }
+
+  /** SimHash per document (alternative near-dup sketch; 64-bit, Hamming
+   *  distance ≤ 3 ≈ high similarity for token streams). */
+  def simhashes(corpus: DataFrame): DataFrame = {
+    val simUdf = udf((c: String) => Shingles.simhash64(c))
+    corpus.select(col("rkey"), simUdf(col("content")).as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup candidates at Hamming distance ≤ `maxDist`, found by the
+   * block-permutation trick (Manku et al., WWW'07): split the 64-bit sketch
+   * into `maxDist + 1` blocks — any pair within distance `maxDist` matches
+   * exactly on at least one block (pigeonhole). One equi-join per block on
+   * `(block_idx, block_value)`, then verify true distance with `bit_count`.
+   */
+  def simhashPairs(simhashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val blocks = maxDist + 1
+    val width = 64 / blocks
+    val blocked = simhashes.select(
+      col("rkey"), col("simhash"),
+      posexplode(array((0 until blocks).map { i =>
+        shiftrightunsigned(col("simhash"), i * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("block", "block_value")))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b,
+        col("a.block") === col("b.block") &&
+          col("a.block_value") === col("b.block_value") &&
+          col("a.rkey") < col("b.rkey"))
+      .select(col("a.rkey").as("a_key"), col("b.rkey").as("b_key"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.functions.Shingles
+import graft.model.DedupConfig
+import graft.operators.{ExactDedup, NearDup}
+
+/** Near-dup stage vs a brute-force O(n²) Jaccard oracle (north_rule:
+ *  dup-pair recall ≥ 0.99 under identical shingle/signature config). */
+class NearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val cfg = DedupConfig()
+
+  private lazy val corpus = Corpus.synthetic(spark, 400, seed = 2L).cache()
+  private lazy val local = corpus.collect()
+
+  /** Brute-force pairs at/above threshold over the same shingle contract. */
+  private lazy val oraclePairs: Map[(String, String), Double] = {
+    val sets = local.map(f => s"${f.repo}/${f.path}" -> Shingles.shingleHashes(f.content, cfg.shingleN))
+      .filter(_._2.nonEmpty)
+    (for {
+      i <- sets.indices
+      j <- (i + 1) until sets.length
+      jac = Shingles.jaccard(sets(i)._2, sets(j)._2)
+      if jac >= cfg.jaccardThreshold
+    } yield {
+      val (a, b) = if (sets(i)._1 < sets(j)._1) (sets(i)._1, sets(j)._1) else (sets(j)._1, sets(i)._1)
+      (a, b) -> jac
+    }).toMap
+  }
+
+  private lazy val gotPairs: Map[(String, String), Double] = {
+    val df = ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey)
+    NearDup.verifiedPairs(df, cfg).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+  }
+
+  test("planted near-dups exist and are non-trivial") {
+    assert(oraclePairs.nonEmpty)
+    assert(oraclePairs.values.exists(j => j < 1.0)) // true near-dups, not only exact
+  }
+
+  test("recall vs brute-force oracle is 1.0 at configured (bands, rows)") {
+    val missed = oraclePairs.keySet -- gotPairs.keySet
+    assert(missed.isEmpty, s"missed pairs: ${missed.take(5)}")
+  }
+
+  test("precision is 1.0 (every emitted pair verified at threshold)") {
+    val extra = gotPairs.keySet -- oraclePairs.keySet
+    assert(extra.isEmpty, s"unexpected pairs: ${extra.take(5)}")
+    gotPairs.foreach { case (k, j) => assert(j === oraclePairs(k), s"jaccard mismatch for $k") }
+  }
+
+  test("minhash signature estimates Jaccard within ±0.15 on planted pairs") {
+    val sets = local.map(f => s"${f.repo}/${f.path}" -> f.content).toMap
+    oraclePairs.take(20).foreach { case ((a, b), jac) =>
+      val sa = Shingles.minhashSignature(Shingles.shingleHashes(sets(a), cfg.shingleN), cfg.minhashK)
+      val sb = Shingles.minhashSignature(Shingles.shingleHashes(sets(b), cfg.shingleN), cfg.minhashK)
+      val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / cfg.minhashK
+      assert(math.abs(est - jac) <= 0.15, s"estimate $est vs exact $jac for ($a,$b)")
+    }
+  }
+
+  test("skew guard: hot buckets above cap are dropped and reported") {
+    val tight = cfg.copy(maxBucketSize = 10)
+    val df = ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey)
+    val banded = NearDup.banded(NearDup.signatures(NearDup.shingleSets(df, tight), tight), tight)
+    val dropped = NearDup.droppedBuckets(banded, tight)
+    // the license-header group (400/23 ≈ 17 identical docs) must trip the cap
+    assert(dropped.count() > 0)
+    val pairs = NearDup.candidatePairs(banded, tight).collect()
+    val lic = local.filter(_.path.startsWith("lic/")).map(f => s"${f.repo}/${f.path}").toSet
+    assert(!pairs.exists(r => lic.contains(r.getString(0)) && lic.contains(r.getString(1))),
+      "capped bucket members must not form candidate pairs")
+  }
+}
