@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.corpus.Corpus
 import graft.model.DedupConfig
-import graft.operators.{Clustering, ExactDedup, NearDup}
+import graft.operators.{Clustering, ExactDedup, NearDup, Substring, TextAnalysis}
 
 /**
  * Driver contract (see SURVEY.md §2 / §7). Every `queries` entry is one
@@ -23,12 +23,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ExactDedup.snapshot(ExactDedup.withHashes(Corpus.fromDocuments(spark, "/root/testdata/sf0.001")))
 
+  /** Memoized per-(session, dir) inputs: the 13 queries of one Verify/Bench
+   *  run share the derived corpus and its hash projection instead of
+   *  re-deriving them 13×. Tiny tables — MEMORY_AND_DISK persist. */
+  private val memo = scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def memoized(spark: SparkSession, dir: String, tag: String)(mk: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, dir, tag),
+      mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def hashed(spark: SparkSession, dir: String): DataFrame =
-    ExactDedup.withHashes(Corpus.fromDocuments(spark, dir))
+    memoized(spark, dir, "hashed") {
+      ExactDedup.withHashes(Corpus.fromDocuments(spark, dir))
+    }
 
   private def corpusWithKey(spark: SparkSession, dir: String): DataFrame =
-    ExactDedup.validRows(Corpus.fromDocuments(spark, dir))
-      .withColumn("rkey", ExactDedup.rkey)
+    memoized(spark, dir, "corpus") {
+      ExactDedup.validRows(Corpus.fromDocuments(spark, dir))
+        .withColumn("rkey", ExactDedup.rkey)
+    }
 
   /** Default near-dup config used by the oracle-checked queries. */
   val cfg: DedupConfig = DedupConfig()
@@ -84,7 +96,28 @@ object SparkEntry {
     // SimHash sketch + Hamming-≤3 block-join pairs (no SQL oracle — verified
     // against a brute-force Hamming oracle in SimHashSpec; rows-only check).
     "q08_simhash_pairs" -> ((s, dir) =>
-      NearDup.simhashPairs(NearDup.simhashes(corpusWithKey(s, dir))))
+      NearDup.simhashPairs(NearDup.simhashes(corpusWithKey(s, dir)))),
+
+    // Stage 4 — long-substring pairs via shift-invariant sampled md5 grams
+    // (oracle-parity sampler; cap disabled to mirror the uncapped oracle).
+    "q09_substring_pairs" -> ((s, dir) =>
+      Substring.gramPairs(
+        Substring.sampledGramTable(corpusWithKey(s, dir), 48),
+        minShared = 2, cap = Int.MaxValue)),
+
+    // Text analysis: token counts + quality scoring (codegen'd built-ins only).
+    "q10_text_stats" -> ((s, dir) => TextAnalysis.textStats(corpusWithKey(s, dir))),
+
+    // Language-ID heuristic (charset rule + stopword voting).
+    "q11_lang_id" -> ((s, dir) => TextAnalysis.langId(corpusWithKey(s, dir))),
+
+    // Document fingerprinting (min-gram winnowing degenerate case).
+    "q12_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(corpusWithKey(s, dir), 48)),
+
+    // Scale-path rolling-hash substring pairs (no SQL oracle — the sampler is
+    // a one-pass Rabin-Karp; verified vs planted blocks in SubstringSpec).
+    "q13_rolling_pairs" -> ((s, dir) =>
+      Substring.substringPairs(corpusWithKey(s, dir), cfg))
   )
 
   /** Shared DuckDB CTEs rebuilding the shingle/Jaccard brute-force oracle:
@@ -181,7 +214,72 @@ cc AS (
 )
 SELECT h.rkey, least(h.rkey, coalesce(m.mn, h.rkey)) AS rep_key
 FROM hashed h
-LEFT JOIN (SELECT node, min(reach) AS mn FROM cc GROUP BY node) m ON h.rkey = m.node"""
+LEFT JOIN (SELECT node, min(reach) AS mn FROM cc GROUP BY node) m ON h.rkey = m.node""",
+
+      "q09_substring_pairs" ->
+        s"""$H,
+offs AS (
+  SELECT rkey, content, unnest(generate_series(1, length(content) - 47)) AS i
+  FROM hashed WHERE length(content) >= 48
+),
+grams AS (
+  SELECT DISTINCT rkey, md5(substr(content, i, 48)) AS g FROM offs
+  WHERE substr(md5(substr(content, i, 48)), 32, 1) = '0'
+)
+SELECT a.rkey AS a_key, b.rkey AS b_key, CAST(count(*) AS BIGINT) AS n_shared
+FROM grams a JOIN grams b ON a.g = b.g AND a.rkey < b.rkey
+GROUP BY 1, 2 HAVING count(*) >= 2""",
+
+      "q10_text_stats" ->
+        s"""$H,
+t AS (
+  SELECT rkey,
+    CAST(length(content) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(lower(content), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+    CAST(len(list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x IN ('the','a','of','to','and','in','is','it','for','on'))) AS BIGINT) AS n_stop
+  FROM hashed
+)
+SELECT rkey, n_chars, n_tokens, n_alnum,
+  CASE WHEN n_chars > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars ELSE 0.0 END AS alnum_ratio,
+  CASE WHEN n_tokens > 0 THEN CAST(n_alnum AS DOUBLE)/n_tokens ELSE 0.0 END AS avg_token_len,
+  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END AS stopword_ratio,
+  0.4 * (CASE WHEN n_chars > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars ELSE 0.0 END)
+  + 0.3 * (CASE WHEN n_tokens >= 50 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE)/50.0 END)
+  + 0.3 * (1.0 - CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END) AS quality_score
+FROM t""",
+
+      "q11_lang_id" ->
+        s"""$H,
+t AS (
+  SELECT rkey,
+    list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS toks,
+    CAST(len(regexp_extract_all(content, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS s_zh
+  FROM hashed
+), s AS (
+  SELECT rkey, s_zh,
+    CAST(len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+    CAST(len(list_filter(toks, t -> t IN ('the','is','and','of','to'))) AS BIGINT) AS s_en,
+    CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS BIGINT) AS s_es,
+    CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','des'))) AS BIGINT) AS s_fr
+  FROM t
+)
+SELECT rkey, s_zh, s_de, s_en, s_es, s_fr,
+  CASE WHEN s_zh > 0 THEN 'zh'
+       WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS predicted_lang
+FROM s""",
+
+      "q12_fingerprint" ->
+        s"""$H,
+offs AS (
+  SELECT rkey, content, unnest(generate_series(1, length(content) - 47)) AS i
+  FROM hashed WHERE length(content) >= 48
+)
+SELECT rkey, min(md5(substr(content, i, 48))) AS fingerprint FROM offs GROUP BY rkey"""
     )
   }
 }

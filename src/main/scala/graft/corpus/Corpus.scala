@@ -152,7 +152,7 @@ hashed AS (
           out += FileRow(repo, s"near/f$id.$lang", commitOf(near), lang, near)
         }
         if (id % 11 == 0) { // sharedSubstring: unique prefix + long shared block
-          val shared = contentFor(id % 50, 60, seed + 999)  // one of 50 shared blocks
+          val shared = contentFor(900 + (id / 11) % 8, 60, seed + 999) // 8 shared blocks
           val mixed = contentFor(id, 30, seed + 5) + " " + shared
           out += FileRow(repo, s"sub/f$id.$lang", commitOf(mixed), lang, mixed)
         }

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.model.DedupConfig
+import graft.operators.{ExactDedup, Substring}
+
+/** Long-substring pass vs a brute-force fingerprint oracle and vs the
+ *  planted shared-block fixtures (FIXTURES.md `sharedSubstring`). */
+class SubstringSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val cfg = DedupConfig()
+
+  private lazy val corpus = Corpus.synthetic(spark, 300, seed = 4L).cache()
+  private lazy val local = corpus.collect()
+
+  test("rolling fingerprints are shift-invariant (same block, different offset)") {
+    val block = "A" * 10 + local.head.content.take(200)
+    val doc1 = "unique prefix one " + block
+    val doc2 = "a totally different and longer unique prefix two " + block
+    val f1 = Substring.rollingFingerprints(doc1, cfg.gramWidth, cfg.sampleMask).toSet
+    val f2 = Substring.rollingFingerprints(doc2, cfg.gramWidth, cfg.sampleMask).toSet
+    assert(f1.intersect(f2).nonEmpty, "shared block must select common fingerprints")
+  }
+
+  test("substringPairs matches brute-force oracle exactly") {
+    val fps = local.map { f =>
+      s"${f.repo}/${f.path}" -> Substring.rollingFingerprints(f.content, cfg.gramWidth, cfg.sampleMask)
+    }
+    // brute force: pairs sharing >= minSharedGrams sampled grams, minus pairs
+    // whose shared grams are all "hot" (above cap) — cap never trips here.
+    val hot = fps.flatMap(_._2).groupBy(identity).filter(_._2.length > cfg.maxBucketSize).keySet
+    assert(hot.isEmpty)
+    val oracle = (for {
+      i <- fps.indices
+      j <- (i + 1) until fps.length
+      shared = fps(i)._2.toSet.intersect(fps(j)._2.toSet).size
+      if shared >= cfg.minSharedGrams
+    } yield {
+      val (a, b) = if (fps(i)._1 < fps(j)._1) (fps(i)._1, fps(j)._1) else (fps(j)._1, fps(i)._1)
+      (a, b) -> shared.toLong
+    }).toMap
+
+    val df = ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey)
+    val got = Substring.substringPairs(df, cfg).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === oracle)
+    assert(oracle.nonEmpty, "fixtures must plant shared substrings")
+  }
+
+  test("planted shared-block files are recovered") {
+    // sub/ files sharing the same block id (id % 50) must pair up when both
+    // sampled fingerprints of the 60-token shared block survive sampling.
+    val df = ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey)
+    val pairs = Substring.substringPairs(df, cfg).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val subPairs = pairs.filter { case (a, b) => a.contains("/sub/") && b.contains("/sub/") }
+    assert(subPairs.nonEmpty, "expected pairs among planted sub/ files")
+  }
+}
