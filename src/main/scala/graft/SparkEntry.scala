@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.corpus.Corpus
 import graft.model.DedupConfig
-import graft.operators.{Clustering, ExactDedup, NearDup, Substring, TextAnalysis}
+import graft.operators.{Clustering, ExactDedup, NearDup, Snapshots, Substring, TextAnalysis}
 
 /**
  * Driver contract (see SURVEY.md §2 / §7). Every `queries` entry is one
@@ -117,7 +117,27 @@ object SparkEntry {
     // Scale-path rolling-hash substring pairs (no SQL oracle — the sampler is
     // a one-pass Rabin-Karp; verified vs planted blocks in SubstringSpec).
     "q13_rolling_pairs" -> ((s, dir) =>
-      Substring.substringPairs(corpusWithKey(s, dir), cfg))
+      Substring.substringPairs(corpusWithKey(s, dir), cfg)),
+
+    // J1 — snapshot validation truth table against current corpus state
+    // (validation.rs:305-335) over an edited snapshot with planted violations.
+    "q14_validate" -> ((s, dir) => {
+      val h = hashed(s, dir)
+      Snapshots.validate(Snapshots.editedSnapshot(h), h)
+    }),
+
+    // Apply — transactional canonical-table rewrite (executor.rs:96-137 as a
+    // MERGE: deletes dropped, symlinks become representative pointers).
+    "q15_apply" -> ((s, dir) => {
+      val h = hashed(s, dir)
+      Snapshots.applyActions(Snapshots.validate(Snapshots.editedSnapshot(h), h), h)
+    }),
+
+    // A8/A9 — pending actions + freeable bytes (executor.rs:140-162).
+    "q16_pending" -> ((s, dir) => {
+      val h = hashed(s, dir)
+      Snapshots.pendingStats(Snapshots.validate(Snapshots.editedSnapshot(h), h))
+    })
   )
 
   /** Shared DuckDB CTEs rebuilding the shingle/Jaccard brute-force oracle:
@@ -279,7 +299,85 @@ offs AS (
   SELECT rkey, content, unnest(generate_series(1, length(content) - 47)) AS i
   FROM hashed WHERE length(content) >= 48
 )
-SELECT rkey, min(md5(substr(content, i, 48))) AS fingerprint FROM offs GROUP BY rkey"""
+SELECT rkey, min(md5(substr(content, i, 48))) AS fingerprint FROM offs GROUP BY rkey""",
+
+      "q14_validate" -> s"$H,$duckValidatedCtes\nSELECT * FROM validated",
+
+      "q15_apply" ->
+        s"""$H,$duckValidatedCtes,
+bad AS (SELECT DISTINCT group_id FROM validated WHERE NOT valid),
+v AS (
+  SELECT v0.rkey, v0.action, v0.symlink_source, (b.group_id IS NOT NULL) AS bad
+  FROM validated v0 LEFT JOIN bad b ON v0.group_id = b.group_id
+)
+SELECT rkey, status, points_to FROM (
+  SELECT h.rkey,
+    CASE WHEN v.action IS NULL OR v.action = 'keep' OR v.bad THEN 'kept'
+         WHEN v.action = 'symlink' THEN 'redirected'
+         ELSE 'deleted' END AS status,
+    CASE WHEN NOT (v.action IS NULL OR v.action = 'keep' OR v.bad)
+              AND v.action = 'symlink' THEN v.symlink_source END AS points_to
+  FROM hashed h LEFT JOIN v ON h.rkey = v.rkey
+) t WHERE status <> 'deleted'""",
+
+      "q16_pending" ->
+        s"""$H,$duckValidatedCtes,
+bad AS (SELECT DISTINCT group_id FROM validated WHERE NOT valid)
+SELECT CAST(count(*) AS BIGINT) AS n_pending,
+       CAST(coalesce(sum(size), 0) AS BIGINT) AS freeable_bytes
+FROM validated v LEFT JOIN bad b ON v.group_id = b.group_id
+WHERE v.valid AND NOT v.is_no_op AND v.action <> 'keep' AND b.group_id IS NULL"""
     )
   }
+
+  /** Oracle CTEs for the edited-snapshot validation pipeline — mirrors
+   *  [[graft.operators.Snapshots]] check order exactly. */
+  private def duckValidatedCtes: String = """
+snapk AS (
+  SELECT group_id, rkey, size, keeper,
+         CASE WHEN rkey = keeper THEN 'keep' ELSE 'symlink' END AS action
+  FROM (
+    SELECT *, min(rkey) OVER (PARTITION BY group_id) AS keeper,
+           count(*) OVER (PARTITION BY group_id) AS nm
+    FROM hashed
+  ) t WHERE nm > 1
+),
+ed0 AS (
+  SELECT group_id AS gid0, substr(group_id, 1, 1) AS c, rkey, keeper,
+    CASE WHEN substr(group_id, 1, 1) = 'f' THEN 'delete'
+         WHEN rkey = keeper THEN 'keep'
+         WHEN substr(group_id, 1, 1) BETWEEN '0' AND '7' THEN 'delete'
+         ELSE 'symlink' END AS action
+  FROM snapk
+),
+edited AS (
+  SELECT CASE WHEN c = 'd' THEN upper(gid0) ELSE gid0 END AS group_id, rkey, action,
+         CASE WHEN action = 'symlink' THEN keeper END AS symlink_source
+  FROM ed0
+  UNION ALL
+  SELECT gid0, keeper || '.ghost', 'delete', NULL FROM ed0 WHERE c = 'e' AND rkey = keeper
+),
+v0 AS (
+  SELECT e.group_id, e.rkey, e.action, e.symlink_source, h.group_id AS true_sha, h.size
+  FROM edited e LEFT JOIN hashed h ON e.rkey = h.rkey
+),
+gk AS (
+  SELECT group_id, max(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS has_keep
+  FROM edited GROUP BY group_id
+),
+validated AS (
+  SELECT v0.group_id, v0.rkey, v0.action, v0.symlink_source, v0.size,
+    CASE WHEN v0.true_sha IS NULL AND v0.action = 'delete' THEN TRUE
+         WHEN v0.true_sha IS NULL THEN FALSE
+         WHEN v0.true_sha <> v0.group_id THEN FALSE
+         WHEN gk.has_keep = 0 THEN FALSE
+         ELSE TRUE END AS valid,
+    CASE WHEN v0.true_sha IS NULL AND v0.action = 'delete' THEN NULL
+         WHEN v0.true_sha IS NULL THEN 'missing_path'
+         WHEN v0.true_sha <> v0.group_id THEN 'checksum_mismatch'
+         WHEN gk.has_keep = 0 THEN 'no_keep_in_group'
+         ELSE NULL END AS error,
+    (v0.true_sha IS NULL AND v0.action = 'delete') AS is_no_op
+  FROM v0 JOIN gk ON v0.group_id = gk.group_id
+)"""
 }
