@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.corpus.Corpus
 import graft.model.DedupConfig
-import graft.operators.{Clustering, ExactDedup, NearDup, Snapshots, Substring, TextAnalysis}
+import graft.operators.{Clustering, ExactDedup, Multimodal, NearDup, Similarity, Snapshots, Substring, TextAnalysis}
 
 /**
  * Driver contract (see SURVEY.md §2 / §7). Every `queries` entry is one
@@ -137,7 +137,29 @@ object SparkEntry {
     "q16_pending" -> ((s, dir) => {
       val h = hashed(s, dir)
       Snapshots.pendingStats(Snapshots.validate(Snapshots.editedSnapshot(h), h))
-    })
+    }),
+
+    // Similarity baseline — brute-force cosine top-5 on the quantized metric
+    // (exact integer dot/norms; deterministic ranking).
+    "q17_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5)),
+
+    // ANN scale path — hyperplane-LSH bucketed top-5 (no SQL oracle;
+    // recall vs brute force measured in SimilaritySpec).
+    "q18_ann_topk" -> ((s, dir) =>
+      Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5)),
+
+    // Multimodal metadata projection over binary media columns.
+    "q19_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
+
+    // Tumbling-window aggregation over the events table (batch equivalent of
+    // the streaming ingestion path; exact integer value quantization).
+    "q20_events_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_value_q")))
   )
 
   /** Shared DuckDB CTEs rebuilding the shingle/Jaccard brute-force oracle:
@@ -326,7 +348,42 @@ bad AS (SELECT DISTINCT group_id FROM validated WHERE NOT valid)
 SELECT CAST(count(*) AS BIGINT) AS n_pending,
        CAST(coalesce(sum(size), 0) AS BIGINT) AS freeable_bytes
 FROM validated v LEFT JOIN bad b ON v.group_id = b.group_id
-WHERE v.valid AND NOT v.is_no_op AND v.action <> 'keep' AND b.group_id IS NULL"""
+WHERE v.valid AND NOT v.is_no_op AND v.action <> 'keep' AND b.group_id IS NULL""",
+
+      "q17_cosine_topk" ->
+        """WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+u AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM emb),
+n AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS ss FROM u GROUP BY 1),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, CAST(sum(a.v*b.v) AS BIGINT) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2
+)
+SELECT vec_id, neighbor_id, rank, cosq FROM (
+  SELECT p.vec_id, p.neighbor_id,
+    CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cosq,
+    row_number() OVER (
+      PARTITION BY p.vec_id
+      ORDER BY CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) DESC,
+               p.neighbor_id) AS rank
+  FROM p JOIN n na ON p.vec_id = na.vec_id JOIN n nb ON p.neighbor_id = nb.vec_id
+) t WHERE rank <= 5""",
+
+      "q19_media_meta" ->
+        """SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS width,
+  CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS height
+FROM documents""",
+
+      "q20_events_window" ->
+        """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q
+FROM events GROUP BY 1, 2"""
     )
   }
 

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Similarity search: brute-force baseline vs an in-process oracle; ANN
+ *  recall measured against the brute-force top-k. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val embeddings = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  private lazy val local: Map[Long, Array[Long]] = embeddings.collect()
+    .map(r => r.getLong(0) ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    .toMap
+
+  private def cosQ(a: Array[Long], b: Array[Long]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+  }
+
+  private lazy val bruteOracle: Map[Long, Seq[Long]] = local.map { case (id, v) =>
+    id -> local.toSeq.filter(_._1 != id)
+      .map { case (j, w) => (j, cosQ(v, w)) }
+      .sortBy { case (j, c) => (-c, j) }
+      .take(5).map(_._1)
+  }
+
+  test("bruteForceTopK matches in-process oracle (ids, ranks, cosines)") {
+    val got = Similarity.bruteForceTopK(embeddings, 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+    assert(got === bruteOracle)
+  }
+
+  test("ANN top-k recall vs brute force is usable even on near-uniform vectors") {
+    val ann = Similarity.annTopK(embeddings, 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    val hits = bruteOracle.toSeq.map { case (id, want) =>
+      want.count(ann.getOrElse(id, Set.empty).contains).toDouble / want.size
+    }
+    val recall = hits.sum / hits.size
+    info(f"ANN recall@5 = $recall%.3f (tables=12, bits=4)")
+    // near-uniform random vectors are the worst case for hyperplane LSH;
+    // the bound asserts the index is wired correctly, not tuned greatness.
+    assert(recall >= 0.5)
+  }
+
+  test("float cosine column agrees with quantized cosine to quantization error") {
+    import org.apache.spark.sql.functions._
+    val a = embeddings.select(col("vec_id"), col("embedding").as("ea")).limit(20)
+    val b = embeddings.select(col("vec_id").as("nid"), col("embedding").as("eb")).limit(20)
+    val rows = a.join(b, col("vec_id") =!= col("nid"))
+      .withColumn("c", Similarity.cosine(col("ea"), col("eb")))
+      .select("vec_id", "nid", "c").collect()
+    // per-component quantization error ≤ 1e-3 of component scale; over 64
+    // dims and ~0.2-magnitude components the cosine can drift a few 1e-2.
+    rows.foreach { r =>
+      val q = cosQ(local(r.getLong(0)), local(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - q) < 5e-2,
+        s"float=${r.getDouble(2)} quantized=$q")
+    }
+  }
+}
