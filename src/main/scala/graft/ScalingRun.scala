@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-process entry for one timed pipeline run: fresh JVM = clean JIT/GC
+ *  state, no cross-run contamination (the in-JVM probe showed 3× wall-time
+ *  swings for identical work from accumulated allocation churn alone).
+ *  Prints a single `[scaling_run] threads=<t> seconds=<s> rows=<n>` line. */
+object ScalingRun {
+  def main(args: Array[String]): Unit = {
+    val Array(threadsS, corpusPath, runDir) = args
+    val threads = threadsS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(s"graft-scaling-$threads")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      if (!new java.io.File(corpusPath).exists()) {
+        val docs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
+        graft.corpus.Corpus.synthetic(spark, docs).toDF()
+          .repartition(64).write.mode("overwrite").parquet(corpusPath)
+      }
+      val corpus = spark.read.parquet(corpusPath)
+      val n = corpus.count()
+      // small JIT warmup before the timed run
+      Pipeline.run(graft.runtime.RunContext(spark, s"$runDir-warm"),
+        corpus.limit(2000)).clusters.count()
+      val t0 = System.nanoTime()
+      val res = Pipeline.run(graft.runtime.RunContext(spark, runDir), corpus)
+      require(res.clusters.count() > 0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scaling_run] threads=$threads seconds=$dt%.3f rows=$n")
+    } finally spark.stop()
+  }
+}

@@ -42,6 +42,13 @@ object SparkEntry {
         .withColumn("rkey", ExactDedup.rkey)
     }
 
+  /** Distinct-content representatives — the similarity stages' input (the
+   *  structural skew fix; see [[NearDup.dedupedByContent]]). */
+  private def uniqCorpus(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "uniq") {
+      NearDup.dedupedByContent(corpusWithKey(spark, dir))
+    }
+
   /** Default near-dup config used by the oracle-checked queries. */
   val cfg: DedupConfig = DedupConfig()
 
@@ -80,13 +87,13 @@ object SparkEntry {
     // J3 + §2.8 — MinHash/LSH candidates verified by exact Jaccard; matches
     // the brute-force O(n²) Jaccard oracle (recall 1 − 4e-13 at threshold).
     "q06_near_pairs" -> ((s, dir) =>
-      NearDup.verifiedPairs(corpusWithKey(s, dir), cfg)),
+      NearDup.verifiedPairs(uniqCorpus(s, dir), cfg)),
 
     // North-star cluster table: CC over exact-chain + verified-near edges,
     // canonical representative per cluster (singletons represent themselves).
     "q07_clusters_all" -> ((s, dir) => {
       val h = hashed(s, dir)
-      val near = NearDup.verifiedPairs(corpusWithKey(s, dir), cfg)
+      val near = NearDup.verifiedPairs(uniqCorpus(s, dir), cfg)
         .select("a_key", "b_key")
       val members = h.select("rkey", "repo", "path", "commit")
       Clustering.clusterTable(members, exactChainEdges(h).union(near))
@@ -96,13 +103,13 @@ object SparkEntry {
     // SimHash sketch + Hamming-≤3 block-join pairs (no SQL oracle — verified
     // against a brute-force Hamming oracle in SimHashSpec; rows-only check).
     "q08_simhash_pairs" -> ((s, dir) =>
-      NearDup.simhashPairs(NearDup.simhashes(corpusWithKey(s, dir)))),
+      NearDup.simhashPairs(NearDup.simhashes(uniqCorpus(s, dir)))),
 
     // Stage 4 — long-substring pairs via shift-invariant sampled md5 grams
     // (oracle-parity sampler; cap disabled to mirror the uncapped oracle).
     "q09_substring_pairs" -> ((s, dir) =>
       Substring.gramPairs(
-        Substring.sampledGramTable(corpusWithKey(s, dir), 48),
+        Substring.sampledGramTable(uniqCorpus(s, dir), 48),
         minShared = 2, cap = Int.MaxValue)),
 
     // Text analysis: token counts + quality scoring (codegen'd built-ins only).
@@ -117,7 +124,7 @@ object SparkEntry {
     // Scale-path rolling-hash substring pairs (no SQL oracle — the sampler is
     // a one-pass Rabin-Karp; verified vs planted blocks in SubstringSpec).
     "q13_rolling_pairs" -> ((s, dir) =>
-      Substring.substringPairs(corpusWithKey(s, dir), cfg)),
+      Substring.substringPairs(uniqCorpus(s, dir), cfg)),
 
     // J1 — snapshot validation truth table against current corpus state
     // (validation.rs:305-335) over an edited snapshot with planted violations.
@@ -165,10 +172,13 @@ object SparkEntry {
   /** Shared DuckDB CTEs rebuilding the shingle/Jaccard brute-force oracle:
    *  the same tokenization contract as [[graft.functions.Shingles]]. */
   private def duckShingleCtes: String = s""",
+uniq AS (
+  SELECT min(rkey) AS rkey, min(content) AS content FROM hashed GROUP BY group_id
+),
 tokl AS (
-  SELECT repo || '/' || path AS rkey,
+  SELECT rkey,
          list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM corpus
+  FROM uniq
 ),
 tok AS (
   SELECT rkey, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM tokl
@@ -260,9 +270,12 @@ LEFT JOIN (SELECT node, min(reach) AS mn FROM cc GROUP BY node) m ON h.rkey = m.
 
       "q09_substring_pairs" ->
         s"""$H,
+uniq AS (
+  SELECT min(rkey) AS rkey, min(content) AS content FROM hashed GROUP BY group_id
+),
 offs AS (
   SELECT rkey, content, unnest(generate_series(1, length(content) - 47)) AS i
-  FROM hashed WHERE length(content) >= 48
+  FROM uniq WHERE length(content) >= 48
 ),
 grams AS (
   SELECT DISTINCT rkey, md5(substr(content, i, 48)) AS g FROM offs

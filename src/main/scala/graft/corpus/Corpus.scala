@@ -152,7 +152,10 @@ hashed AS (
           out += FileRow(repo, s"near/f$id.$lang", commitOf(near), lang, near)
         }
         if (id % 11 == 0) { // sharedSubstring: unique prefix + long shared block
-          val shared = contentFor(900 + (id / 11) % 8, 60, seed + 999) // 8 shared blocks
+          // block pool scales with corpus size so each block is shared by
+          // ~15 files regardless of nDocs (pair count stays linear)
+          val nBlocks = math.max(8L, nDocs / 150L)
+          val shared = contentFor(900 + (id / 11) % nBlocks, 60, seed + 999)
           val mixed = contentFor(id, 30, seed + 5) + " " + shared
           out += FileRow(repo, s"sub/f$id.$lang", commitOf(mixed), lang, mixed)
         }

@@ -1,0 +1,36 @@
+package graft.functions
+
+/**
+ * Shared run-scan pair generator for bucket-join stages (LSH bands, gram
+ * inverted index): given `(bucket, id)` rows sorted by bucket within a
+ * partition, emit all unordered id-pairs per bucket run, skipping runs
+ * larger than `cap` (skew guard) with bounded buffering — a mega-bucket
+ * holds at most cap+1 ids in memory, then drains without emitting.
+ */
+object BucketScan extends Serializable {
+  def pairs(it: Iterator[(Long, Long)], cap: Int): Iterator[(Long, Long)] =
+    new Iterator[(Long, Long)] {
+      private val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+      private var pending: Iterator[(Long, Long)] = Iterator.empty
+      private var cur: Option[(Long, Long)] = if (it.hasNext) Some(it.next()) else None
+      private def refill(): Unit = {
+        while (!pending.hasNext && cur.isDefined) {
+          val bucket = cur.get._1
+          buf.clear()
+          while (cur.isDefined && cur.get._1 == bucket) {
+            if (buf.length <= cap) buf += cur.get._2
+            cur = if (it.hasNext) Some(it.next()) else None
+          }
+          if (buf.length > 1 && buf.length <= cap) {
+            val ids = buf.toArray
+            pending = for {
+              i <- ids.indices.iterator
+              j <- ((i + 1) until ids.length).iterator
+            } yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))
+          }
+        }
+      }
+      def hasNext: Boolean = { refill(); pending.hasNext }
+      def next(): (Long, Long) = { refill(); pending.next() }
+    }
+}

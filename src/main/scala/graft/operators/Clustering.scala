@@ -87,6 +87,7 @@ object Clustering {
       cur = next
       it += 1
     }
+    System.err.println(s"[graft.cc] converged after $it iterations")
     // After convergence every edge points member→root (a star). Roots map to
     // themselves; include them explicitly.
     cur.select(col("src").as("node"), col("dst").as("component"))

@@ -34,6 +34,23 @@ import graft.model.DedupConfig
  */
 object NearDup {
 
+  /**
+   * Content dedup in front of the similarity stages: one representative row
+   * (minimum `rkey`) per distinct content. This is the structural skew fix —
+   * a group of m identical files (license headers, empty files, vendored
+   * code) would otherwise put m copies of the *same* signature into every
+   * LSH band bucket, turning the bucket self-join into an O(m²) single-task
+   * hotspot. After dedup the group is ONE row; exact-dup edges (stage 1)
+   * restore full-cluster connectivity in stage 3. Pair outputs of the
+   * similarity stages are therefore *content-representative* pairs.
+   */
+  def dedupedByContent(corpusK: DataFrame): DataFrame =
+    corpusK
+      .withColumn("cid", sha2(col("content").cast("binary"), 256))
+      .groupBy("cid")
+      .agg(min(col("rkey")).as("rkey"), min(col("content")).as("content"))
+      .drop("cid")
+
   private val shingleUdf =
     udf((content: String, n: Int) => Shingles.shingleHashes(content, n))
   private val minhashUdf =
@@ -59,41 +76,56 @@ object NearDup {
       col("rkey"),
       minhashUdf(col("shingles"), lit(cfg.minhashK)).as("sig"))
 
-  /** Exploded LSH buckets `(band, band_hash, rkey)` — one row per (doc, band). */
+  /**
+   * Exploded LSH buckets `(band_hash, id, rkey)` — one row per (doc, band).
+   * The band index is folded INTO the bucket hash (bandHashes seeds each
+   * band's chain with its index), and the doc is carried as a 64-bit
+   * `xxhash64(rkey)` id: a bucket row is 16 bytes on the wire instead of a
+   * 50+-byte (band, hash, key-string) triple — at 10⁹ docs × 64 bands that
+   * is the difference between a 1 TB and a 4 TB shuffle. Keys are joined
+   * back once, after pair dedup (an id collision can only *add* a candidate
+   * pair, which the exact-Jaccard verify then discards).
+   */
   def banded(signatures: DataFrame, cfg: DedupConfig): DataFrame =
-    signatures
-      .select(col("rkey"),
-        posexplode(bandUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
-          .as(Seq("band", "band_hash")))
+    signatures.select(
+      xxhash64(col("rkey")).as("id"),
+      explode(bandUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand))).as("band_hash"))
 
   /** Buckets dropped by the skew guard, with sizes — the lineage/metrics view
    *  required by north_rule ("cap skewed buckets, report them"). */
   def droppedBuckets(banded: DataFrame, cfg: DedupConfig): DataFrame =
-    banded.groupBy("band", "band_hash").count()
+    banded.groupBy("band_hash").count()
       .where(col("count") > cfg.maxBucketSize)
 
   /**
    * Candidate pairs `(a_key, b_key)` — distinct over all bands. Buckets of
    * size 1 carry no pairs; buckets over the cap are dropped (see class doc).
+   * `keys` maps ids back to row keys (from the same signatures table).
    */
-  def candidatePairs(banded: DataFrame, cfg: DedupConfig): DataFrame = {
-    val counts = banded.groupBy("band", "band_hash").count()
-    val good = counts
-      .where(col("count") > 1 && col("count") <= cfg.maxBucketSize)
-      .select("band", "band_hash")
-    val member = banded
-      .join(good, Seq("band", "band_hash"), "left_semi")
-      // Explicit co-location before the self-join (north_rule): one exchange
-      // feeds both join sides instead of two independent shuffles.
-      .repartition(col("band"), col("band_hash"))
-    val a = member.as("a")
-    val b = member.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.rkey") < col("b.rkey"))
-      .select(col("a.rkey").as("a_key"), col("b.rkey").as("b_key"))
+  def candidatePairs(banded: DataFrame, keys: DataFrame, cfg: DedupConfig): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    // ONE exchange: co-locate each bucket (north_rule repartition), sort
+    // locally, scan runs of equal bucket hash. A groupBy-count prepass would
+    // hash-aggregate ~docs×bands nearly-all-distinct keys — no map-side
+    // combine benefit, giant spilling hash maps; the sorted run-scan replaces
+    // three full-width exchanges with this single one. The cap is enforced
+    // in-stream with bounded buffering (a mega-bucket buffers cap+1 ids,
+    // then drains without emitting).
+    val cap = cfg.maxBucketSize
+    val idPairs = banded
+      .repartition(col("band_hash"))
+      .sortWithinPartitions("band_hash", "id")
+      .select(col("band_hash"), col("id")).as[(Long, Long)]
+      .mapPartitions(it => graft.functions.BucketScan.pairs(it, cap))
+      .toDF("a_id", "b_id")
       .distinct()
+    val ka = keys.select(xxhash64(col("rkey")).as("a_id"), col("rkey").as("ka"))
+    val kb = keys.select(xxhash64(col("rkey")).as("b_id"), col("rkey").as("kb"))
+    // id order ≠ key order: normalize the pair to key order after mapping
+    idPairs.join(ka, "a_id").join(kb, "b_id")
+      .select(least(col("ka"), col("kb")).as("a_key"),
+        greatest(col("ka"), col("kb")).as("b_key"))
   }
 
   /**
@@ -104,12 +136,27 @@ object NearDup {
   def verifiedPairs(corpus: DataFrame, cfg: DedupConfig): DataFrame = {
     val sh = shingleSets(corpus, cfg)
       // Reused on three sides (signature build + two verify joins): cache at
-      // test scale; at cluster scale this is the checkpointed signatures table.
+      // test scale; at cluster scale this is the checkpointed shingles stage
+      // (see graft.Pipeline, which passes materialized stages instead).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = signatures(sh, cfg)
-    val cand = candidatePairs(banded(sigs, cfg), cfg)
-    val shA = sh.select(col("rkey").as("a_key"), col("shingles").as("sh_a"), col("n_shingles").as("n_a"))
-    val shB = sh.select(col("rkey").as("b_key"), col("shingles").as("sh_b"), col("n_shingles").as("n_b"))
+    verifiedPairsFrom(sh, signatures(sh, cfg), cfg)
+  }
+
+  /** [[verifiedPairs]] over pre-materialized shingle/signature stages
+   *  (the checkpointed-pipeline entry point). */
+  def verifiedPairsFrom(sh: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    verifyCandidates(candidatePairs(banded(sigs, cfg), sigs, cfg), sh, cfg)
+
+  /** Exact-Jaccard verification of a (possibly checkpointed) candidate-pair
+   *  table against the shingle sets. */
+  def verifyCandidates(cand: DataFrame, sh: DataFrame, cfg: DedupConfig): DataFrame = {
+    // SHUFFLE_HASH: sort-merge would SORT the wide shingle-array rows on a
+    // string key twice; hashing the (bounded, per-partition) build side is
+    // strictly cheaper here and stays skew-safe under AQE.
+    val shA = sh.hint("SHUFFLE_HASH")
+      .select(col("rkey").as("a_key"), col("shingles").as("sh_a"), col("n_shingles").as("n_a"))
+    val shB = sh.hint("SHUFFLE_HASH")
+      .select(col("rkey").as("b_key"), col("shingles").as("sh_b"), col("n_shingles").as("n_b"))
     cand.join(shA, "a_key").join(shB, "b_key")
       .withColumn("n_intersect", jaccardCountUdf(col("sh_a"), col("sh_b")).cast("long"))
       .withColumn("n_union", (col("n_a") + col("n_b") - col("n_intersect")).cast("long"))

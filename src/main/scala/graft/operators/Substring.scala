@@ -99,16 +99,28 @@ object Substring {
    * oracle-parity runs.
    */
   def gramPairs(grams: DataFrame, minShared: Int, cap: Int): DataFrame = {
-    val counts = grams.groupBy("gram").count()
-    val good = counts.where(col("count") > 1 && col("count") <= cap).select("gram")
-    val member = grams.join(good, Seq("gram"), "left_semi")
-      .repartition(col("gram"))
-    val a = member.as("a")
-    val b = member.as("b")
-    a.join(b, col("a.gram") === col("b.gram") && col("a.rkey") < col("b.rkey"))
-      .groupBy(col("a.rkey").as("a_key"), col("b.rkey").as("b_key"))
+    val spark = grams.sparkSession
+    import spark.implicits._
+    // same shape as the LSH candidate stage: 16-byte (bucket, id) rows, ONE
+    // co-locating exchange, local sorted run-scan with in-stream cap (see
+    // NearDup.candidatePairs), then count shared grams per id-pair
+    val g = grams.select(xxhash64(col("gram")).as("bucket"), xxhash64(col("rkey")).as("id"))
+    val idPairs = g
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .as[(Long, Long)]
+      .mapPartitions(it => graft.functions.BucketScan.pairs(it, cap))
+      .toDF("a_id", "b_id")
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+    val keys = grams.select("rkey").distinct()
+    val ka = keys.select(xxhash64(col("rkey")).as("a_id"), col("rkey").as("ka"))
+    val kb = keys.select(xxhash64(col("rkey")).as("b_id"), col("rkey").as("kb"))
+    idPairs.join(ka, "a_id").join(kb, "b_id")
+      .select(least(col("ka"), col("kb")).as("a_key"),
+        greatest(col("ka"), col("kb")).as("b_key"),
+        col("n_shared"))
   }
 
   /** Substring-pair edges with the scale sampler — feeds Stage 3 clustering. */

@@ -1,0 +1,60 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Stage-level checkpointing for resumable runs (north_rule: "checkpoints
+ * signatures and cluster state per stage; resumable from checkpoint").
+ *
+ * Each stage materializes to `<runDir>/<stage>` as parquet; the parquet
+ * `_SUCCESS` marker doubles as the done-flag — a stage whose marker exists is
+ * *read back*, never recomputed, so a killed run resumes from its last
+ * completed stage. (The Iceberg-flavored deployment would materialize each
+ * stage as a table version; parquet dirs are the offline stand-in —
+ * SURVEY.md §7 environment note.)
+ *
+ * Also sets a reliable Spark checkpoint dir so iterative operators
+ * (connected components) cut lineage with real checkpoints inside a run.
+ */
+class RunContext(val spark: SparkSession, val runDir: String, val runId: String) {
+  val metrics = new Metrics(spark, runId)
+  spark.sparkContext.setCheckpointDir(s"$runDir/_spark_checkpoints")
+
+  private val fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(runDir), spark.sparkContext.hadoopConfiguration)
+
+  private def donePath(name: String) =
+    new org.apache.hadoop.fs.Path(s"$runDir/$name/_SUCCESS")
+
+  /** Names of stages already completed (for resume reporting/tests). */
+  def completed(name: String): Boolean = fs.exists(donePath(name))
+
+  /**
+   * Materialize-or-restore a stage. On compute, the stage output is
+   * instrumented with per-partition metrics before writing.
+   */
+  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    val path = s"$runDir/$name"
+    if (!completed(name)) {
+      val t0 = System.nanoTime()
+      metrics.instrument(compute, name)
+        .write.mode("overwrite").parquet(path)
+      val dbg = if (sys.env.contains("SPARK_GRAFT_HEAP_DEBUG")) {
+        System.gc()
+        val rt = Runtime.getRuntime
+        f"  usedHeap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%dMB"
+      } else ""
+      System.err.println(f"[graft.stage] $name ${(System.nanoTime() - t0) / 1e9}%.1f s$dbg")
+    }
+    spark.read.parquet(path)
+  }
+}
+
+object RunContext {
+  def apply(spark: SparkSession, runDir: String): RunContext = {
+    // run id derives from the directory (stable across resumes of the run)
+    val id = java.lang.Long.toUnsignedString(
+      graft.functions.XXHash64.hashString(runDir, 42L), 16)
+    new RunContext(spark, runDir, id)
+  }
+}

@@ -16,9 +16,15 @@ class NearDupSpec extends AnyFunSuite {
   private lazy val corpus = Corpus.synthetic(spark, 400, seed = 2L).cache()
   private lazy val local = corpus.collect()
 
+  /** Distinct-content representatives (min key per content), mirroring
+   *  NearDup.dedupedByContent. */
+  private lazy val reps: Array[(String, String)] = local
+    .groupBy(_.content).map { case (c, fs) => fs.map(f => s"${f.repo}/${f.path}").min -> c }
+    .toArray.sortBy(_._1)
+
   /** Brute-force pairs at/above threshold over the same shingle contract. */
   private lazy val oraclePairs: Map[(String, String), Double] = {
-    val sets = local.map(f => s"${f.repo}/${f.path}" -> Shingles.shingleHashes(f.content, cfg.shingleN))
+    val sets = reps.map { case (k, c) => k -> Shingles.shingleHashes(c, cfg.shingleN) }
       .filter(_._2.nonEmpty)
     (for {
       i <- sets.indices
@@ -32,7 +38,8 @@ class NearDupSpec extends AnyFunSuite {
   }
 
   private lazy val gotPairs: Map[(String, String), Double] = {
-    val df = ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey)
+    val df = NearDup.dedupedByContent(
+      ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey))
     NearDup.verifiedPairs(df, cfg).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
   }
@@ -54,7 +61,7 @@ class NearDupSpec extends AnyFunSuite {
   }
 
   test("minhash signature estimates Jaccard within ±0.15 on planted pairs") {
-    val sets = local.map(f => s"${f.repo}/${f.path}" -> f.content).toMap
+    val sets = reps.toMap
     oraclePairs.take(20).foreach { case ((a, b), jac) =>
       val sa = Shingles.minhashSignature(Shingles.shingleHashes(sets(a), cfg.shingleN), cfg.minhashK)
       val sb = Shingles.minhashSignature(Shingles.shingleHashes(sets(b), cfg.shingleN), cfg.minhashK)
@@ -64,13 +71,15 @@ class NearDupSpec extends AnyFunSuite {
   }
 
   test("skew guard: hot buckets above cap are dropped and reported") {
-    val tight = cfg.copy(maxBucketSize = 10)
+    val tight = cfg.copy(maxBucketSize = 2)
+    // deliberately run WITHOUT content dedup so identical docs form hot buckets
     val df = ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey)
-    val banded = NearDup.banded(NearDup.signatures(NearDup.shingleSets(df, tight), tight), tight)
+    val sigs = NearDup.signatures(NearDup.shingleSets(df, tight), tight)
+    val banded = NearDup.banded(sigs, tight)
     val dropped = NearDup.droppedBuckets(banded, tight)
     // the license-header group (400/23 ≈ 17 identical docs) must trip the cap
     assert(dropped.count() > 0)
-    val pairs = NearDup.candidatePairs(banded, tight).collect()
+    val pairs = NearDup.candidatePairs(banded, sigs, tight).collect()
     val lic = local.filter(_.path.startsWith("lic/")).map(f => s"${f.repo}/${f.path}").toSet
     assert(!pairs.exists(r => lic.contains(r.getString(0)) && lic.contains(r.getString(1))),
       "capped bucket members must not form candidate pairs")

@@ -13,7 +13,10 @@ class SimHashSpec extends AnyFunSuite {
   test("simhash pairs at Hamming<=3 match brute force exactly") {
     val corpus = Corpus.synthetic(spark, 250, seed = 3L)
     val local = corpus.collect()
-    val sketches = local.map(f => s"${f.repo}/${f.path}" -> Shingles.simhash64(f.content))
+    // oracle over distinct-content representatives (min key per content)
+    val sketches = local.groupBy(_.content)
+      .map { case (c, fs) => fs.map(f => s"${f.repo}/${f.path}").min -> Shingles.simhash64(c) }
+      .toArray.sortBy(_._1)
     val oracle = (for {
       i <- sketches.indices
       j <- (i + 1) until sketches.length
@@ -25,8 +28,8 @@ class SimHashSpec extends AnyFunSuite {
       (a, b, d)
     }).toSet
 
-    val df = ExactDedup.validRows(corpus.toDF())
-      .withColumn("rkey", ExactDedup.rkey)
+    val df = NearDup.dedupedByContent(
+      ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey))
     val got = NearDup.simhashPairs(NearDup.simhashes(df), maxDist = 3)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(got === oracle)

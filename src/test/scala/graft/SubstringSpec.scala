@@ -24,9 +24,10 @@ class SubstringSpec extends AnyFunSuite {
   }
 
   test("substringPairs matches brute-force oracle exactly") {
-    val fps = local.map { f =>
-      s"${f.repo}/${f.path}" -> Substring.rollingFingerprints(f.content, cfg.gramWidth, cfg.sampleMask)
-    }
+    // oracle over distinct-content representatives (min key per content)
+    val fps = local.groupBy(_.content).map { case (c, fs) =>
+      fs.map(f => s"${f.repo}/${f.path}").min -> Substring.rollingFingerprints(c, cfg.gramWidth, cfg.sampleMask)
+    }.toArray.sortBy(_._1)
     // brute force: pairs sharing >= minSharedGrams sampled grams, minus pairs
     // whose shared grams are all "hot" (above cap) — cap never trips here.
     val hot = fps.flatMap(_._2).groupBy(identity).filter(_._2.length > cfg.maxBucketSize).keySet
@@ -41,7 +42,8 @@ class SubstringSpec extends AnyFunSuite {
       (a, b) -> shared.toLong
     }).toMap
 
-    val df = ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey)
+    val df = graft.operators.NearDup.dedupedByContent(
+      ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey))
     val got = Substring.substringPairs(df, cfg).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got === oracle)
@@ -51,7 +53,8 @@ class SubstringSpec extends AnyFunSuite {
   test("planted shared-block files are recovered") {
     // sub/ files sharing the same block id (id % 50) must pair up when both
     // sampled fingerprints of the 60-token shared block survive sampling.
-    val df = ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey)
+    val df = graft.operators.NearDup.dedupedByContent(
+      ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey))
     val pairs = Substring.substringPairs(df, cfg).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     val subPairs = pairs.filter { case (a, b) => a.contains("/sub/") && b.contains("/sub/") }
