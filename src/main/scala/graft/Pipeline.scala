@@ -29,23 +29,55 @@ object Pipeline {
   def run(ctx: RunContext, corpus: DataFrame, cfg: DedupConfig = DedupConfig()): Result = {
     val corpusK = ExactDedup.validRows(corpus).withColumn("rkey", ExactDedup.rkey)
 
-    val hashed = ctx.stage("hashed") { ExactDedup.withHashes(corpus, cfg.quick) }
-    val snapshot = ctx.stage("snapshot") { ExactDedup.snapshot(hashed) }
-    // Similarity stages run on distinct content only (structural skew fix —
-    // see NearDup.dedupedByContent); exact edges restore full connectivity.
-    val uniq = ctx.stage("uniq") { NearDup.dedupedByContent(corpusK) }
-    val shingles = ctx.stage("shingles") { NearDup.shingleSets(uniq, cfg) }
-    val signatures = ctx.stage("signatures") { NearDup.signatures(shingles, cfg) }
-    // candidate state checkpointed separately (north_rule) — and the banded
-    // subtree (sig explode + bucket counts + semi-join + self-join) runs once
-    // instead of once per downstream consumer.
-    val candidates = ctx.stage("candidates") {
-      NearDup.candidatePairs(NearDup.banded(signatures, cfg), signatures, cfg)
+    // Light stages (no parquet barrier — persisted, shared by consumers;
+    // cheap map-side projections whose resumability rides on the
+    // materialized stages downstream). Heavy stages = the north_rule durable
+    // checkpoints: snapshot, signatures, candidate state, verified pairs,
+    // clusters.
+    val hashed = ctx.stage("hashed", materialize = false) { ExactDedup.withHashes(corpus, cfg.quick) }
+
+    // The three edge-producing branches are independent given the scan:
+    // submit them CONCURRENTLY (Spark schedules independent jobs onto idle
+    // cores). This overlaps each branch's serial segments — driver planning,
+    // commit protocol, small-shuffle rounds — with another branch's parallel
+    // compute; on a wide cluster (or the local[4N] arm) those serial
+    // segments are the Amdahl tax that a higher core count cannot shrink.
+    // On the saturated low-parallelism arm the overlap changes little, which
+    // is exactly the point: it converts idle-core time into work.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val fSnapshot = Future { ctx.stage("snapshot") { ExactDedup.snapshot(hashed) } }
+
+    val fNearPairs = Future {
+      // Similarity runs on distinct content only (structural skew fix);
+      // dedup happens AFTER the per-row shingle projection on narrow columns
+      // (NearDup.uniqShingleSets) so raw content never crosses an exchange.
+      // Exact edges restore full-cluster connectivity in stage 3.
+      val shingles = ctx.stage("shingles", materialize = false) { NearDup.uniqShingleSets(corpusK, cfg) }
+      val signatures = ctx.stage("signatures") { NearDup.signatures(shingles, cfg) }
+      // candidate state checkpointed separately (north_rule) — and the banded
+      // subtree (sig explode + bucket counts + semi-join + self-join) runs once
+      // instead of once per downstream consumer.
+      val candidates = ctx.stage("candidates") {
+        NearDup.candidatePairs(NearDup.banded(signatures, cfg), signatures, cfg)
+      }
+      ctx.stage("near_pairs") { NearDup.verifyCandidates(candidates, shingles, cfg) }
     }
-    val nearPairs = ctx.stage("near_pairs") {
-      NearDup.verifyCandidates(candidates, shingles, cfg)
+
+    val fSubPairs = Future {
+      // Substring edges feed clustering only after byte-exact verification —
+      // a gram coincidence or hash collision must not merge clusters.
+      ctx.stage("substring_pairs") {
+        Substring.verifiedSubstringPairs(
+          Substring.substringPairsUniq(corpusK, cfg), corpusK, cfg.gramWidth)
+      }
     }
-    val subPairs = ctx.stage("substring_pairs") { Substring.substringPairs(uniq, cfg) }
+
+    val snapshot = Await.result(fSnapshot, Duration.Inf)
+    val nearPairs = Await.result(fNearPairs, Duration.Inf)
+    val subPairs = Await.result(fSubPairs, Duration.Inf)
     val clusters = ctx.stage("clusters") {
       // exact-dup edges as keeper-centered STARS (symlink_source = keeper):
       // star spanning trees converge in O(1) large/small-star rounds, unlike

@@ -10,11 +10,20 @@ object ScalingRun {
   def main(args: Array[String]): Unit = {
     val Array(threadsS, corpusPath, runDir) = args
     val threads = threadsS.toInt
+    // Shuffle partitions are decoupled from the thread count: with
+    // partitions == threads, AQE coalesces every small exchange down to a
+    // handful of partitions and post-shuffle stages run at the SAME
+    // parallelism in both arms — the round-1 scaling collapse. A fixed
+    // over-partitioned value (identical in both arms) keeps every stage
+    // wide enough for the high arm; AQE still coalesces the tiny ones.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", (4 * threads).toString)
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(s"graft-scaling-$threads")
-      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))

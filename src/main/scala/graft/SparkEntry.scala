@@ -23,13 +23,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ExactDedup.snapshot(ExactDedup.withHashes(Corpus.fromDocuments(spark, "/root/testdata/sf0.001")))
 
-  /** Memoized per-(session, dir) inputs: the 13 queries of one Verify/Bench
+  /** Memoized per-(session, dir) inputs: the queries of one Verify/Bench
    *  run share the derived corpus and its hash projection instead of
-   *  re-deriving them 13×. Tiny tables — MEMORY_AND_DISK persist. */
+   *  re-deriving them per query. Tiny tables — MEMORY_AND_DISK persist.
+   *  Entries of stopped sessions are evicted on access (no unbounded
+   *  accumulation of dead cached plans across sbt-test sessions). */
   private val memo = scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-  private def memoized(spark: SparkSession, dir: String, tag: String)(mk: => DataFrame): DataFrame =
+  private def memoized(spark: SparkSession, dir: String, tag: String)(mk: => DataFrame): DataFrame = {
+    memo.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
+      memo.remove(k).foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    }
     memo.getOrElseUpdate((spark, dir, tag),
       mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def hashed(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "hashed") {
@@ -42,11 +48,12 @@ object SparkEntry {
         .withColumn("rkey", ExactDedup.rkey)
     }
 
-  /** Distinct-content representatives — the similarity stages' input (the
-   *  structural skew fix; see [[NearDup.dedupedByContent]]). */
-  private def uniqCorpus(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "uniq") {
-      NearDup.dedupedByContent(corpusWithKey(spark, dir))
+  /** Full validation truth table over the planted snapshot+state matrix
+   *  (shared by q14/q15/q16/q22). */
+  private def validated(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "validated") {
+      val h = hashed(spark, dir)
+      Snapshots.validateState(Snapshots.editedSnapshot(h), Snapshots.plantedState(h))
     }
 
   /** Default near-dup config used by the oracle-checked queries. */
@@ -86,30 +93,32 @@ object SparkEntry {
 
     // J3 + §2.8 — MinHash/LSH candidates verified by exact Jaccard; matches
     // the brute-force O(n²) Jaccard oracle (recall 1 − 4e-13 at threshold).
+    // Content dedup happens inside (project-then-dedup, no content shuffle).
     "q06_near_pairs" -> ((s, dir) =>
-      NearDup.verifiedPairs(uniqCorpus(s, dir), cfg)),
+      NearDup.verifiedPairs(corpusWithKey(s, dir), cfg)),
 
     // North-star cluster table: CC over exact-chain + verified-near edges,
     // canonical representative per cluster (singletons represent themselves).
     "q07_clusters_all" -> ((s, dir) => {
       val h = hashed(s, dir)
-      val near = NearDup.verifiedPairs(uniqCorpus(s, dir), cfg)
+      val near = NearDup.verifiedPairs(corpusWithKey(s, dir), cfg)
         .select("a_key", "b_key")
       val members = h.select("rkey", "repo", "path", "commit")
       Clustering.clusterTable(members, exactChainEdges(h).union(near))
         .select("rkey", "rep_key")
     }),
 
-    // SimHash sketch + Hamming-≤3 block-join pairs (no SQL oracle — verified
-    // against a brute-force Hamming oracle in SimHashSpec; rows-only check).
+    // SimHash sketch (md5 token bits — ANSI-replayable) + Hamming-≤3
+    // block-join pairs; the DuckDB oracle recomputes the sketch bit-for-bit
+    // and brute-forces all-pairs Hamming.
     "q08_simhash_pairs" -> ((s, dir) =>
-      NearDup.simhashPairs(NearDup.simhashes(uniqCorpus(s, dir)))),
+      NearDup.simhashPairs(NearDup.uniqSimhashesMd5(corpusWithKey(s, dir)))),
 
     // Stage 4 — long-substring pairs via shift-invariant sampled md5 grams
     // (oracle-parity sampler; cap disabled to mirror the uncapped oracle).
     "q09_substring_pairs" -> ((s, dir) =>
       Substring.gramPairs(
-        Substring.sampledGramTable(uniqCorpus(s, dir), 48),
+        Substring.sampledGramTableUniq(corpusWithKey(s, dir), 48),
         minShared = 2, cap = Int.MaxValue)),
 
     // Text analysis: token counts + quality scoring (codegen'd built-ins only).
@@ -121,30 +130,29 @@ object SparkEntry {
     // Document fingerprinting (min-gram winnowing degenerate case).
     "q12_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(corpusWithKey(s, dir), 48)),
 
-    // Scale-path rolling-hash substring pairs (no SQL oracle — the sampler is
-    // a one-pass Rabin-Karp; verified vs planted blocks in SubstringSpec).
-    "q13_rolling_pairs" -> ((s, dir) =>
-      Substring.substringPairs(uniqCorpus(s, dir), cfg)),
-
-    // J1 — snapshot validation truth table against current corpus state
-    // (validation.rs:305-335) over an edited snapshot with planted violations.
-    "q14_validate" -> ((s, dir) => {
-      val h = hashed(s, dir)
-      Snapshots.validate(Snapshots.editedSnapshot(h), h)
+    // Scale-path rolling-hash substring pairs, byte-exact verified (no SQL
+    // oracle — one-pass Rabin-Karp sampler; planted-block recall and
+    // planted-false-edge rejection proven in SubstringSpec).
+    "q13_rolling_pairs" -> ((s, dir) => {
+      val cK = corpusWithKey(s, dir)
+      Substring.verifiedSubstringPairs(
+        Substring.substringPairsUniq(cK, cfg), cK, cfg.gramWidth)
     }),
+
+    // J1/J2 — the FULL validation truth table (validation.rs:305-335 +
+    // 49-67 + 124-141 + 181-274) against a planted current state: every
+    // branch (corrupt group, keeperless, checksum, source hash/missing/
+    // is-symlink, already-linked no-op/err, broken-link re-link, ghost
+    // no-op deletes) fires in the matrix — see Snapshots.editedSnapshot.
+    "q14_validate" -> ((s, dir) => validated(s, dir)),
 
     // Apply — transactional canonical-table rewrite (executor.rs:96-137 as a
     // MERGE: deletes dropped, symlinks become representative pointers).
-    "q15_apply" -> ((s, dir) => {
-      val h = hashed(s, dir)
-      Snapshots.applyActions(Snapshots.validate(Snapshots.editedSnapshot(h), h), h)
-    }),
+    "q15_apply" -> ((s, dir) =>
+      Snapshots.applyActions(validated(s, dir), hashed(s, dir))),
 
     // A8/A9 — pending actions + freeable bytes (executor.rs:140-162).
-    "q16_pending" -> ((s, dir) => {
-      val h = hashed(s, dir)
-      Snapshots.pendingStats(Snapshots.validate(Snapshots.editedSnapshot(h), h))
-    }),
+    "q16_pending" -> ((s, dir) => Snapshots.pendingStats(validated(s, dir))),
 
     // Similarity baseline — brute-force cosine top-5 on the quantized metric
     // (exact integer dot/norms; deterministic ranking).
@@ -166,7 +174,29 @@ object SparkEntry {
         .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(floor(col("value") * 1000).cast("long")).as("sum_value_q")))
+          sum(floor(col("value") * 1000).cast("long")).as("sum_value_q"))),
+
+    // P7 skip_deduped, round 2 (snapshot/mod.rs:103-113, README.md:339-368):
+    // validate with allow_full_deletion=true, apply, then re-snapshot the
+    // applied state with skip_deduped — fully-deduped and fully-deleted
+    // groups vanish; only untouched (invalid-group) duplicates resurface.
+    "q21_snapshot_round2" -> ((s, dir) => {
+      val h = hashed(s, dir)
+      val st = Snapshots.plantedState(h)
+      val v = Snapshots.validateState(Snapshots.editedSnapshot(h), st,
+        allowFullDeletion = true)
+      Snapshots.snapshotFromState(Snapshots.appliedState(v, st), skipDeduped = true)
+    }),
+
+    // Dry-run action view (executor.rs:53-94; includes no-ops,
+    // executor.rs:174) with the reference's announcement lines.
+    "q22_dry_run" -> ((s, dir) => Snapshots.dryRun(validated(s, dir))),
+
+    // S2 exclusion predicate (scanner.rs:21-22): excluded path prefixes are
+    // pruned in the scan (pushed filter — see CorpusSpec plan assertion).
+    "q23_excluded_scan" -> ((s, dir) =>
+      Corpus.withExcludes(corpusWithKey(s, dir), Seq("copy/", "lic/"))
+        .select("rkey", "lang"))
   )
 
   /** Shared DuckDB CTEs rebuilding the shingle/Jaccard brute-force oracle:
@@ -336,13 +366,41 @@ offs AS (
 )
 SELECT rkey, min(md5(substr(content, i, 48))) AS fingerprint FROM offs GROUP BY rkey""",
 
-      "q14_validate" -> s"$H,$duckValidatedCtes\nSELECT * FROM validated",
+      "q08_simhash_pairs" ->
+        s"""$H,
+uniq2 AS (SELECT min(rkey) AS rkey, min(content) AS content FROM hashed GROUP BY group_id),
+tokl2 AS (
+  SELECT rkey,
+         list_filter(regexp_split_to_array(lower(content), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM uniq2
+),
+tokc AS (SELECT rkey, unnest(toks) AS tok FROM tokl2),
+jj AS (SELECT unnest(generate_series(0, 63)) AS j),
+votes AS (
+  SELECT rkey, j,
+    sum(CASE WHEN (((strpos('0123456789abcdef', substr(md5(tok), (j // 4) + 1, 1)) - 1)
+                    >> (3 - (j % 4))) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM tokc CROSS JOIN jj GROUP BY rkey, j
+),
+bits AS (
+  SELECT r.rkey, jj.j, coalesce(CASE WHEN vt.v > 0 THEN 1 ELSE 0 END, 0) AS bit
+  FROM (SELECT rkey FROM tokl2) r CROSS JOIN jj
+  LEFT JOIN votes vt ON vt.rkey = r.rkey AND vt.j = jj.j
+)
+SELECT a_key, b_key, hamming FROM (
+  SELECT a.rkey AS a_key, b.rkey AS b_key,
+         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM bits a JOIN bits b ON a.j = b.j AND a.rkey < b.rkey
+  GROUP BY 1, 2
+) h WHERE hamming <= 3""",
+
+      "q14_validate" -> s"$H,${duckValidatedCtes(false)}\nSELECT * FROM validated",
 
       "q15_apply" ->
-        s"""$H,$duckValidatedCtes,
+        s"""$H,${duckValidatedCtes(false)},
 bad AS (SELECT DISTINCT group_id FROM validated WHERE NOT valid),
 v AS (
-  SELECT v0.rkey, v0.action, v0.symlink_source, (b.group_id IS NOT NULL) AS bad
+  SELECT v0.rkey, v0.action, v0.src, (b.group_id IS NOT NULL) AS bad
   FROM validated v0 LEFT JOIN bad b ON v0.group_id = b.group_id
 )
 SELECT rkey, status, points_to FROM (
@@ -351,17 +409,57 @@ SELECT rkey, status, points_to FROM (
          WHEN v.action = 'symlink' THEN 'redirected'
          ELSE 'deleted' END AS status,
     CASE WHEN NOT (v.action IS NULL OR v.action = 'keep' OR v.bad)
-              AND v.action = 'symlink' THEN v.symlink_source END AS points_to
+              AND v.action = 'symlink' THEN v.src END AS points_to
   FROM hashed h LEFT JOIN v ON h.rkey = v.rkey
 ) t WHERE status <> 'deleted'""",
 
       "q16_pending" ->
-        s"""$H,$duckValidatedCtes,
+        s"""$H,${duckValidatedCtes(false)},
 bad AS (SELECT DISTINCT group_id FROM validated WHERE NOT valid)
 SELECT CAST(count(*) AS BIGINT) AS n_pending,
-       CAST(coalesce(sum(size), 0) AS BIGINT) AS freeable_bytes
+       CAST(coalesce(sum(CASE WHEN NOT v.is_no_op THEN v.size ELSE 0 END), 0) AS BIGINT) AS freeable_bytes
 FROM validated v LEFT JOIN bad b ON v.group_id = b.group_id
 WHERE v.valid AND NOT v.is_no_op AND v.action <> 'keep' AND b.group_id IS NULL""",
+
+      "q21_snapshot_round2" ->
+        s"""$H,${duckValidatedCtes(true)},
+bad AS (SELECT DISTINCT group_id FROM validated WHERE NOT valid),
+vv AS (
+  SELECT v0.rkey, v0.action, v0.src, (b.group_id IS NOT NULL) AS bad
+  FROM validated v0 LEFT JOIN bad b ON v0.group_id = b.group_id
+),
+applied AS (
+  SELECT s.rkey, s.true_sha, s.size,
+    CASE WHEN NOT (v.action IS NULL OR v.action = 'keep' OR v.bad)
+              AND v.action = 'symlink' THEN v.src
+         ELSE s.points_to END AS points_to
+  FROM state s LEFT JOIN vv v ON s.rkey = v.rkey
+  WHERE (v.action IS NULL OR v.action = 'keep' OR v.bad) OR v.action <> 'delete'
+)
+SELECT group_id, rkey, action, points_to, n_members FROM (
+  SELECT true_sha AS group_id, rkey,
+    CASE WHEN points_to IS NOT NULL THEN 'symlink' ELSE 'keep' END AS action,
+    points_to,
+    CAST(count(*) OVER w AS BIGINT) AS n_members,
+    sum(CASE WHEN points_to IS NULL THEN 1 ELSE 0 END) OVER w AS nk
+  FROM applied WINDOW w AS (PARTITION BY true_sha)
+) t WHERE n_members > 1 AND nk <> 1""",
+
+      "q22_dry_run" ->
+        s"""$H,${duckValidatedCtes(false)},
+bad AS (SELECT DISTINCT group_id FROM validated WHERE NOT valid)
+SELECT v.rkey, v.action, v.src, v.is_no_op,
+  '[DRY RUN]' || (CASE WHEN v.is_no_op THEN '[NO-OP]' ELSE '' END) ||
+  (CASE WHEN v.action = 'symlink'
+        THEN ' File to be replaced with symlink: ' || v.rkey || ' -> ' || v.src
+        ELSE ' File to be deleted: ' || v.rkey END) AS note
+FROM validated v LEFT JOIN bad b ON v.group_id = b.group_id
+WHERE v.valid AND v.action <> 'keep' AND b.group_id IS NULL""",
+
+      "q23_excluded_scan" ->
+        s"""$H
+SELECT rkey, lang FROM hashed
+WHERE NOT starts_with(path, 'copy/') AND NOT starts_with(path, 'lic/')""",
 
       "q17_cosine_topk" ->
         """WITH emb AS (
@@ -400,54 +498,119 @@ FROM events GROUP BY 1, 2"""
     )
   }
 
-  /** Oracle CTEs for the edited-snapshot validation pipeline — mirrors
-   *  [[graft.operators.Snapshots]] check order exactly. */
-  private def duckValidatedCtes: String = """
-snapk AS (
-  SELECT group_id, rkey, size, keeper,
-         CASE WHEN rkey = keeper THEN 'keep' ELSE 'symlink' END AS action
-  FROM (
-    SELECT *, min(rkey) OVER (PARTITION BY group_id) AS keeper,
-           count(*) OVER (PARTITION BY group_id) AS nm
-    FROM hashed
-  ) t WHERE nm > 1
+  /**
+   * Oracle CTEs for the planted snapshot + planted state + full validation
+   * truth table — a line-for-line mirror of [[graft.operators.Snapshots]]
+   * (editedSnapshot / plantedState / validateState). Produces CTEs:
+   * `don, snapk, ed1, edited, state, gagg, v0, v1, validated`.
+   */
+  private def duckValidatedCtes(allowFullDeletion: Boolean): String = {
+    val allow = if (allowFullDeletion) "TRUE" else "FALSE"
+    s"""
+don AS (
+  SELECT h1.rkey AS d1_rkey, h1.group_id AS d1_gid,
+         (SELECT min(h2.rkey) FROM hashed h2 WHERE h2.group_id <> h1.group_id) AS d2_rkey
+  FROM hashed h1 WHERE h1.rkey = (SELECT min(rkey) FROM hashed)
 ),
-ed0 AS (
-  SELECT group_id AS gid0, substr(group_id, 1, 1) AS c, rkey, keeper,
-    CASE WHEN substr(group_id, 1, 1) = 'f' THEN 'delete'
+snapk AS (
+  SELECT s.*, substr(s.group_id, 1, 1) AS c, substr(s.group_id, 2, 1) AS c2,
+         CASE WHEN s.group_id = don.d1_gid THEN don.d2_rkey ELSE don.d1_rkey END AS donor
+  FROM (
+    SELECT group_id, rkey, size,
+           min(rkey) OVER w AS keeper, max(rkey) OVER w AS maxk, count(*) OVER w AS nm
+    FROM hashed WINDOW w AS (PARTITION BY group_id)
+  ) s CROSS JOIN don WHERE s.nm > 1
+),
+ed1 AS (
+  SELECT group_id AS gid0, c, rkey, keeper, donor,
+    CASE WHEN c = 'f' THEN (CASE WHEN c2 <= '7' THEN 'delete'
+                                 WHEN rkey = maxk THEN 'symlink'
+                                 ELSE 'delete' END)
          WHEN rkey = keeper THEN 'keep'
-         WHEN substr(group_id, 1, 1) BETWEEN '0' AND '7' THEN 'delete'
+         WHEN c = '1' THEN 'delete'
+         WHEN c = '4' THEN 'keep'
          ELSE 'symlink' END AS action
-  FROM snapk
+  FROM snapk WHERE NOT (c = '0' AND rkey <> keeper)
 ),
 edited AS (
   SELECT CASE WHEN c = 'd' THEN upper(gid0) ELSE gid0 END AS group_id, rkey, action,
-         CASE WHEN action = 'symlink' THEN keeper END AS symlink_source
-  FROM ed0
+    CASE WHEN action <> 'symlink' THEN NULL
+         WHEN c = '2' THEN donor
+         WHEN c = '3' THEN keeper || '.ghost'
+         WHEN c IN ('8','9','d','e') THEN keeper
+         ELSE NULL END AS symlink_source
+  FROM ed1
   UNION ALL
-  SELECT gid0, keeper || '.ghost', 'delete', NULL FROM ed0 WHERE c = 'e' AND rkey = keeper
+  SELECT group_id, keeper || '.ghost', 'delete', NULL FROM snapk WHERE c = 'e' AND rkey = keeper
 ),
-v0 AS (
-  SELECT e.group_id, e.rkey, e.action, e.symlink_source, h.group_id AS true_sha, h.size
-  FROM edited e LEFT JOIN hashed h ON e.rkey = h.rkey
+state AS (
+  SELECT t.rkey, t.group_id AS true_sha, t.size,
+    CASE WHEN t.nm > 1 THEN
+      CASE WHEN substr(t.group_id,1,1) IN ('4','5') AND t.rkey <> t.keeper THEN t.keeper
+           WHEN substr(t.group_id,1,1) = '6' AND t.rkey <> t.keeper
+                THEN (CASE WHEN t.group_id = don.d1_gid THEN don.d2_rkey ELSE don.d1_rkey END)
+           WHEN substr(t.group_id,1,1) = '7' AND t.rkey = t.keeper
+                THEN (CASE WHEN t.group_id = don.d1_gid THEN don.d2_rkey ELSE don.d1_rkey END)
+           WHEN substr(t.group_id,1,1) = 'c' AND t.rkey <> t.keeper THEN t.rkey || '.broken'
+      END
+    END AS points_to
+  FROM (
+    SELECT rkey, group_id, size,
+           min(rkey) OVER w AS keeper, count(*) OVER w AS nm
+    FROM hashed WINDOW w AS (PARTITION BY group_id)
+  ) t CROSS JOIN don
 ),
-gk AS (
-  SELECT group_id, max(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS has_keep
+gagg AS (
+  SELECT group_id, count(*) AS n_rows,
+         max(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS has_keep,
+         min(CASE WHEN action = 'delete' THEN 1 ELSE 0 END) AS all_delete,
+         min(CASE WHEN action = 'keep' THEN rkey END) AS keeper
   FROM edited GROUP BY group_id
 ),
+v0 AS (
+  SELECT e.group_id, e.rkey, e.action, e.symlink_source,
+         (e.symlink_source IS NOT NULL) AS is_explicit,
+         CASE WHEN e.action = 'symlink' THEN coalesce(e.symlink_source, g.keeper) END AS src,
+         st.true_sha, st.size, st.points_to,
+         g.n_rows, g.has_keep, g.all_delete
+  FROM edited e
+  LEFT JOIN state st ON e.rkey = st.rkey
+  JOIN gagg g ON e.group_id = g.group_id
+),
+v1 AS (
+  SELECT v0.*, ss.true_sha AS src_sha, ss.points_to AS src_points_to,
+         (pt.rkey IS NOT NULL) AS pt_exists
+  FROM v0
+  LEFT JOIN state ss ON v0.src = ss.rkey
+  LEFT JOIN state pt ON v0.points_to = pt.rkey
+),
 validated AS (
-  SELECT v0.group_id, v0.rkey, v0.action, v0.symlink_source, v0.size,
-    CASE WHEN v0.true_sha IS NULL AND v0.action = 'delete' THEN TRUE
-         WHEN v0.true_sha IS NULL THEN FALSE
-         WHEN v0.true_sha <> v0.group_id THEN FALSE
-         WHEN gk.has_keep = 0 THEN FALSE
-         ELSE TRUE END AS valid,
-    CASE WHEN v0.true_sha IS NULL AND v0.action = 'delete' THEN NULL
-         WHEN v0.true_sha IS NULL THEN 'missing_path'
-         WHEN v0.true_sha <> v0.group_id THEN 'checksum_mismatch'
-         WHEN gk.has_keep = 0 THEN 'no_keep_in_group'
-         ELSE NULL END AS error,
-    (v0.true_sha IS NULL AND v0.action = 'delete') AS is_no_op
-  FROM v0 JOIN gk ON v0.group_id = gk.group_id
+  SELECT group_id, rkey, action, symlink_source, src, is_explicit, size,
+         (error IS NULL) AS valid, error,
+         ((action = 'delete' AND true_sha IS NULL) OR
+          (action = 'symlink' AND error IS NULL AND points_to IS NOT NULL
+           AND pt_exists AND points_to = src)) AS is_no_op
+  FROM (
+    SELECT *,
+      CASE WHEN n_rows <= 1 THEN 'corrupt_snapshot'
+           WHEN has_keep = 0 AND NOT ($allow AND all_delete = 1) THEN 'no_keep_in_group'
+           WHEN action = 'keep' THEN
+             CASE WHEN true_sha IS NULL THEN 'missing_path'
+                  WHEN points_to IS NOT NULL THEN 'keep_on_symlink'
+                  WHEN true_sha <> group_id THEN 'checksum_mismatch' END
+           WHEN action = 'symlink' THEN
+             CASE WHEN true_sha IS NULL THEN 'missing_path'
+                  WHEN true_sha <> group_id THEN 'checksum_mismatch'
+                  WHEN is_explicit AND src_sha IS NULL THEN 'source_missing'
+                  WHEN is_explicit AND src_sha <> group_id THEN 'source_hash_mismatch'
+                  WHEN src_points_to IS NOT NULL THEN 'source_is_symlink'
+                  WHEN points_to IS NOT NULL AND pt_exists AND points_to <> src
+                       THEN 'symlink_update_not_allowed' END
+           WHEN action = 'delete' THEN
+             CASE WHEN true_sha IS NOT NULL AND true_sha <> group_id THEN 'checksum_mismatch' END
+      END AS error
+    FROM v1
+  ) t
 )"""
+  }
 }

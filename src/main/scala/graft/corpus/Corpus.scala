@@ -22,6 +22,19 @@ import graft.model.FileRow
  */
 object Corpus {
 
+  /**
+   * S2 exclusion predicate (scanner.rs:21-22, main.rs:88): drop rows whose
+   * path lives under an excluded prefix — the `--exclude` CLI flag in table
+   * form. Expressed as a conjunction of `NOT startswith` literals so Catalyst
+   * pushes it into the parquet scan (excluded subtrees are never descended,
+   * exactly like the reference's pruned BFS); with a prefix-aligned partition
+   * layout this becomes partition pruning.
+   */
+  def withExcludes(corpus: DataFrame, excludePrefixes: Seq[String]): DataFrame =
+    excludePrefixes.foldLeft(corpus) { (df, p) =>
+      df.where(!col("path").startsWith(p))
+    }
+
   /** Fixed "vendored license header" content — plants one hot sha256 group
    *  (1 in 25 docs), the skew case called out by north_rule (cf. FIXTURES.md
    *  `hotContent`). Kept free of SQL metacharacters for oracle parity. */

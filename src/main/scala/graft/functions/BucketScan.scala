@@ -33,4 +33,40 @@ object BucketScan extends Serializable {
       def hasNext: Boolean = { refill(); pending.hasNext }
       def next(): (Long, Long) = { refill(); pending.next() }
     }
+
+  /**
+   * Generic variant carrying the row key itself (any bucket/id types) — used
+   * where pair emission must be *collision-safe*: no 64-bit id indirection,
+   * the emitted pair IS the pair of row keys. Id ordering must match the
+   * engine's (`Ordering[String]` = Java lexicographic = Spark/DuckDB binary
+   * collation for ASCII keys).
+   */
+  def pairsKeyed[B, K](it: Iterator[(B, K)], cap: Int)(implicit ord: Ordering[K]): Iterator[(K, K)] =
+    new Iterator[(K, K)] {
+      private val buf = new scala.collection.mutable.ArrayBuffer[K]()
+      private var pending: Iterator[(K, K)] = Iterator.empty
+      private var cur: Option[(B, K)] = if (it.hasNext) Some(it.next()) else None
+      private def refill(): Unit = {
+        while (!pending.hasNext && cur.isDefined) {
+          val bucket = cur.get._1
+          buf.clear()
+          while (cur.isDefined && cur.get._1 == bucket) {
+            if (buf.length <= cap) buf += cur.get._2
+            cur = if (it.hasNext) Some(it.next()) else None
+          }
+          if (buf.length > 1 && buf.length <= cap) {
+            val ids = buf.toArray[Any]
+            pending = for {
+              i <- ids.indices.iterator
+              j <- ((i + 1) until ids.length).iterator
+            } yield {
+              val (a, b) = (ids(i).asInstanceOf[K], ids(j).asInstanceOf[K])
+              if (ord.lteq(a, b)) (a, b) else (b, a)
+            }
+          }
+        }
+      }
+      def hasNext: Boolean = { refill(); pending.hasNext }
+      def next(): (K, K) = { refill(); pending.next() }
+    }
 }

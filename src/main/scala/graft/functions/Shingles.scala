@@ -152,4 +152,39 @@ object Shingles extends Serializable {
     }
     out
   }
+
+  /**
+   * SimHash variant whose per-token bits come from the first 64 bits of
+   * md5(token) in big-endian bit order — i.e. bit j (j = 0..63) is bit
+   * `7 - j%8` of digest byte `j/8`, which equals bit `3 - j%4` of hex digit
+   * `j/4` of the standard lowercase hex rendering. md5 exists in every ANSI
+   * SQL engine, so this sketch is *oracle-replayable* (q08's DuckDB SQL
+   * recomputes it bit-for-bit); [[simhash64]] (xxh64 token bits) remains the
+   * cheaper production sketch. Ties (vote sum 0) resolve to bit 0. Empty
+   * token stream → 0L.
+   */
+  def simhashMd5(content: String): Long = {
+    val toks = tokenize(content)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        if (((d(j / 8) >>> (7 - j % 8)) & 1) == 1) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (acc(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
 }

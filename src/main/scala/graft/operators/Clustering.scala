@@ -35,20 +35,28 @@ object Clustering {
 
   /** One large-star round: for every node u, connect every strictly-larger
    *  neighbor to u's minimum neighborhood label. Input edges are directed
-   *  (src, dst); the round symmetrizes internally. */
+   *  (src, dst); the round symmetrizes internally.
+   *
+   *  ONE exchange: the explicit `repartition(src)` satisfies both the
+   *  aggregation and the join downstream (Catalyst reuses the exchange and
+   *  the co-partitioning), so a round is one shuffle instead of three —
+   *  iteration wall time is stage-count-bound, not data-bound, on every
+   *  cluster size. Intermediate duplicate edges are NOT deduped here; the
+   *  single `distinct` at the end of smallStar bounds the round's output. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
     val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
     sym.join(mins, "src")
       .select(col("src"), col("dst"), least(col("mn"), col("src")).as("m"))
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
-  /** One small-star round over edges already pointing high→low. */
+  /** One small-star round over edges already pointing high→low; one exchange
+   *  plus the round-final distinct. */
   private def smallStar(edges: DataFrame): DataFrame = {
-    val e = edges.where(col("src") =!= col("dst"))
+    val e = edges.where(col("src") =!= col("dst")).repartition(col("src"))
     val mins = e.groupBy("src").agg(min(col("dst")).as("m"))
     val relinked = e.join(mins, "src")
       .select(col("dst").as("src"), col("m").as("dst"))
@@ -60,9 +68,26 @@ object Clustering {
    * result maps every node id appearing in `edges` to its component's minimum
    * node id (`node`, `component`).
    */
-  def connectedComponents(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
+                          reliable: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    val useReliable = spark.sparkContext.getCheckpointDir.isDefined
+    // The loop body is ~7 exchanges of SMALL data (edges shrink every round):
+    // per-exchange ADAPTIVE replanning latency dominates wall time while task
+    // work is microseconds. Pin the loop to static planning with modest
+    // parallelism; the surrounding query (labeling joins over the full
+    // member set) runs under the session's normal AQE config. At 10⁹-edge
+    // scale flip SPARK_GRAFT_CC_STATIC off — there AQE's skew handling is
+    // worth its latency.
+    val conf = spark.conf
+    val useStatic = sys.env.getOrElse("SPARK_GRAFT_CC_STATIC", "1") == "1"
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val prevSp = conf.get("spark.sql.shuffle.partitions", "64")
+    if (useStatic) {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions",
+        math.max(spark.sparkContext.defaultParallelism, 8).toString)
+    }
+    try {
     var cur = edges
       .select(col(edges.columns(0)).cast("long").as("src"), col(edges.columns(1)).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -71,9 +96,16 @@ object Clustering {
     var converged = false
     var it = 0
     var prevSig: (Long, Long) = (-1L, -1L)
+    val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     while (!converged && it < maxIterations) {
+      val t0 = System.nanoTime()
       val next0 = smallStar(largeStar(cur))
-      val next = if (useReliable) next0.checkpoint() else next0.localCheckpoint()
+      // LAZY local checkpoint: the convergence-signature aggregation below is
+      // the action that materializes it — one job per round, not two. The
+      // round-level resumability checkpoint is the *stage* parquet around the
+      // whole CC call (RunContext); reliable per-round checkpoints are opt-in
+      // (they cost a distributed-FS write+read per round).
+      val next = if (reliable) next0.checkpoint() else next0.localCheckpoint(false)
       // Convergence: the (count, xor-of-edge-hash) signature is a fixpoint.
       // bit_xor (not sum) — overflow-free under ANSI mode, order-insensitive.
       val sig = next.agg(
@@ -86,6 +118,8 @@ object Clustering {
       prevSig = sig
       cur = next
       it += 1
+      if (dbg) System.err.println(
+        f"[graft.cc] iter $it ${(System.nanoTime() - t0) / 1e9}%.2f s edges=${sig._1}")
     }
     System.err.println(s"[graft.cc] converged after $it iterations")
     // After convergence every edge points member→root (a star). Roots map to
@@ -93,6 +127,10 @@ object Clustering {
     cur.select(col("src").as("node"), col("dst").as("component"))
       .union(cur.select(col("dst").as("node"), col("dst").as("component")))
       .groupBy("node").agg(min(col("component")).as("component"))
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
   }
 
   /**
@@ -107,11 +145,14 @@ object Clustering {
    */
   def clusterTable(members: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = members.sparkSession
+    val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+    val t0 = System.nanoTime()
     val m = members.withColumn("node", xxhash64(col("rkey")))
     val edges = pairs.select(
       xxhash64(col(pairs.columns(0))).as("src"),
       xxhash64(col(pairs.columns(1))).as("dst"))
     val cc = connectedComponents(edges)
+    if (dbg) System.err.println(f"[graft.cc] cc-total ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val labeled = m.join(cc, Seq("node"), "left_outer")
       .withColumn("component", coalesce(col("component"), col("node")))
     // Representative = min rkey per component; broadcast-sized only per-group,

@@ -43,13 +43,43 @@ object NearDup {
    * hotspot. After dedup the group is ONE row; exact-dup edges (stage 1)
    * restore full-cluster connectivity in stage 3. Pair outputs of the
    * similarity stages are therefore *content-representative* pairs.
+   *
+   * Scale note: the representative-key aggregation is **narrow** —
+   * `(cid, rkey)` only, ~100 bytes/row with map-side combine — so the hot
+   * groups collapse before the exchange. Content itself crosses at most one
+   * exchange (the probe side of the semi-join; never aggregated, never
+   * sorted — SHUFFLE_HASH build side is the narrow key set). Where the
+   * similarity stage only needs a *projection* of content (shingles, grams,
+   * sketches), prefer [[uniqShingleSets]]-style project-then-dedup, which
+   * never moves content at all.
    */
   def dedupedByContent(corpusK: DataFrame): DataFrame =
+    corpusK.join(representativeKeys(corpusK).hint("SHUFFLE_HASH"), Seq("rkey"), "left_semi")
+
+  /** Minimum `rkey` per distinct content — narrow columns only. */
+  def representativeKeys(corpusK: DataFrame): DataFrame =
     corpusK
-      .withColumn("cid", sha2(col("content").cast("binary"), 256))
+      .select(sha2(col("content").cast("binary"), 256).as("cid"), col("rkey"))
+      .groupBy("cid").agg(min(col("rkey")).as("rkey"))
+      .select("rkey")
+
+  /**
+   * Content-dedup *after* a per-row projection: `payload` is computed in the
+   * scan stage for every row, then one row per distinct content survives
+   * (representative = min rkey, payload taken from any member — they are
+   * identical by construction). The shuffle carries `(cid, rkey, payload)`
+   * with map-side partial aggregation, so a hot group (m identical license
+   * headers) contributes ONE payload per map partition to the exchange and
+   * raw content never leaves the scan — the 100 TB-safe shape of
+   * "dedup then project".
+   */
+  def uniqProjected(corpusK: DataFrame, payload: Column): DataFrame =
+    corpusK
+      .select(sha2(col("content").cast("binary"), 256).as("cid"), col("rkey"),
+        payload.as("payload"))
       .groupBy("cid")
-      .agg(min(col("rkey")).as("rkey"), min(col("content")).as("content"))
-      .drop("cid")
+      .agg(min(col("rkey")).as("rkey"), first(col("payload")).as("payload"))
+      .select("rkey", "payload")
 
   private val shingleUdf =
     udf((content: String, n: Int) => Shingles.shingleHashes(content, n))
@@ -69,6 +99,15 @@ object NearDup {
       .withColumn("n_shingles", size(col("shingles")))
       .where(col("n_shingles") > 0)
       .select("rkey", "shingles", "n_shingles")
+
+  /** [[shingleSets]] over the content-distinct representatives, computed as
+   *  project-then-dedup (see [[uniqProjected]]): identical result to
+   *  `shingleSets(dedupedByContent(corpusK))` with no content exchange. */
+  def uniqShingleSets(corpusK: DataFrame, cfg: DedupConfig): DataFrame =
+    uniqProjected(corpusK, shingleUdf(col("content"), lit(cfg.shingleN)))
+      .select(col("rkey"), col("payload").as("shingles"))
+      .withColumn("n_shingles", size(col("shingles")))
+      .where(col("n_shingles") > 0)
 
   /** MinHash signatures `(rkey, sig: array<long>[k])`. */
   def signatures(shingles: DataFrame, cfg: DedupConfig): DataFrame =
@@ -133,8 +172,8 @@ object NearDup {
    * pairs at or above `cfg.jaccardThreshold`. Output:
    * `(a_key, b_key, n_intersect, n_union, jaccard)`.
    */
-  def verifiedPairs(corpus: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sh = shingleSets(corpus, cfg)
+  def verifiedPairs(corpusK: DataFrame, cfg: DedupConfig): DataFrame = {
+    val sh = uniqShingleSets(corpusK, cfg)
       // Reused on three sides (signature build + two verify joins): cache at
       // test scale; at cluster scale this is the checkpointed shingles stage
       // (see graft.Pipeline, which passes materialized stages instead).
@@ -172,6 +211,15 @@ object NearDup {
     corpus.select(col("rkey"), simUdf(col("content")).as("simhash"))
   }
 
+  /** SimHash over content-distinct representatives, using the md5-derived
+   *  token bits ([[Shingles.simhashMd5]]) so an ANSI-SQL oracle can replay
+   *  the exact sketch (q08's DuckDB oracle). */
+  def uniqSimhashesMd5(corpusK: DataFrame): DataFrame = {
+    val simUdf = udf((c: String) => Shingles.simhashMd5(c))
+    uniqProjected(corpusK, simUdf(col("content")))
+      .select(col("rkey"), col("payload").as("simhash"))
+  }
+
   /**
    * SimHash near-dup candidates at Hamming distance ≤ `maxDist`, found by the
    * block-permutation trick (Manku et al., WWW'07): split the 64-bit sketch
@@ -179,15 +227,23 @@ object NearDup {
    * exactly on at least one block (pigeonhole). One equi-join per block on
    * `(block_idx, block_value)`, then verify true distance with `bit_count`.
    */
-  def simhashPairs(simhashes: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(simhashes: DataFrame, maxDist: Int = 3,
+                   maxBlockSize: Int = 65536): DataFrame = {
     val blocks = maxDist + 1
     val width = 64 / blocks
-    val blocked = simhashes.select(
+    val blocked0 = simhashes.select(
       col("rkey"), col("simhash"),
       posexplode(array((0 until blocks).map { i =>
         shiftrightunsigned(col("simhash"), i * width)
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("block", "block_value")))
+    // Skew guard (same stop-bucket rule as the LSH stage): a block value
+    // shared by m docs contributes O(m²) join rows; blocks over the cap are
+    // dropped (they are boilerplate sketches — their members still cluster
+    // via the exact stage). The hot-block list is tiny → broadcast anti-join.
+    val hot = blocked0.groupBy("block", "block_value").count()
+      .where(col("count") > maxBlockSize).select("block", "block_value")
+    val blocked = blocked0.join(broadcast(hot), Seq("block", "block_value"), "left_anti")
     val a = blocked.as("a")
     val b = blocked.as("b")
     a.join(b,
@@ -195,7 +251,7 @@ object NearDup {
           col("a.block_value") === col("b.block_value") &&
           col("a.rkey") < col("b.rkey"))
       .select(col("a.rkey").as("a_key"), col("b.rkey").as("b_key"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
   }

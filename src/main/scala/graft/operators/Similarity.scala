@@ -94,20 +94,73 @@ object Similarity {
     })
 
   /** `(vec_id, table, bucket)` — the LSH index table. */
-  def annIndex(embeddings: DataFrame, tables: Int = 12, bits: Int = 4): DataFrame =
+  def annIndex(embeddings: DataFrame, tables: Int = 16, bits: Int = 8): DataFrame =
     embeddings.select(col("vec_id"),
       posexplode(bucketsUdf(tables, bits)(col("embedding"))).as(Seq("table", "bucket")))
 
+  /** Multi-probe query buckets: the exact bucket plus every 1-bit flip
+   *  (Lv et al., VLDB'07 multi-probe LSH) — `(bits + 1) · tables` probe rows
+   *  per vector, recovering the recall that higher `bits` (smaller buckets)
+   *  would otherwise cost. */
+  def annProbes(embeddings: DataFrame, tables: Int = 16, bits: Int = 8): DataFrame = {
+    val probesUdf = udf((v: Seq[Float]) => {
+      val base = new Array[Long](tables)
+      // same sketch as bucketsUdf
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var b = 0
+        while (b < bits) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += v(i) * plane(t, b, i); i += 1 }
+          if (dot > 0) bucket |= (1L << b)
+          b += 1
+        }
+        base(t) = bucket
+        t += 1
+      }
+      val out = new Array[Long](tables * (bits + 1))
+      t = 0
+      while (t < tables) {
+        val o = t * (bits + 1)
+        out(o) = base(t)
+        var j = 0
+        while (j < bits) { out(o + 1 + j) = base(t) ^ (1L << j); j += 1 }
+        t += 1
+      }
+      out
+    })
+    embeddings.select(col("vec_id"),
+        posexplode(probesUdf(col("embedding"))).as(Seq("pos", "bucket")))
+      .select(col("vec_id"), (col("pos") / (bits + 1)).cast("int").as("table"), col("bucket"))
+  }
+
+  /** Buckets over the skew cap — dropped from candidate generation and
+   *  reported (same stop-bucket rule as the MinHash LSH stage). */
+  def annHotBuckets(idx: DataFrame, maxBucketSize: Int): DataFrame =
+    idx.groupBy("table", "bucket").count().where(col("count") > maxBucketSize)
+
   /**
-   * ANN top-k: candidates from bucket collisions across tables (deduped),
-   * verified with exact quantized cosine, ranked per vector. Recall depends
-   * on (tables, bits) and the data's similarity profile — measured in
-   * SimilaritySpec against [[bruteForceTopK]].
+   * ANN top-k: candidates from capped bucket collisions across tables
+   * (multi-probe on the query side), verified with exact quantized cosine,
+   * ranked per vector. Candidates per query are bounded by
+   * `tables · (bits+1) · maxBucketSize` — a hot bucket (duplicate or
+   * degenerate embeddings) cannot explode the join; its members still rank
+   * via the remaining tables or, at worst, are reported via
+   * [[annHotBuckets]]. Recall is measured in SimilaritySpec against
+   * [[bruteForceTopK]] (near-uniform random vectors — hyperplane LSH's worst
+   * case; structured/clustered embeddings only do better).
    */
-  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 12, bits: Int = 4): DataFrame = {
+  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 16, bits: Int = 8,
+              maxBucketSize: Int = 4096): DataFrame = {
     val idx = annIndex(embeddings, tables, bits)
+    val hot = broadcast(annHotBuckets(idx, maxBucketSize).select("table", "bucket"))
+    val idxOk = idx.join(hot, Seq("table", "bucket"), "left_anti")
       .repartition(col("table"), col("bucket"))
-    val cand = idx.as("a").join(idx.as("b"),
+    val probes = annProbes(embeddings, tables, bits)
+      .join(hot, Seq("table", "bucket"), "left_anti")
+    val cand = probes.as("a").join(idxOk.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))

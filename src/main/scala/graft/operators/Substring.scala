@@ -82,10 +82,22 @@ object Substring {
   def sampledGramTable(corpus: DataFrame, w: Int): DataFrame =
     corpus.select(col("rkey"), explode(md5GramsUdf(col("content"), lit(w))).as("gram"))
 
+  /** [[sampledGramTable]] over content-distinct representatives
+   *  (project-then-dedup: content never shuffles). */
+  def sampledGramTableUniq(corpusK: DataFrame, w: Int): DataFrame =
+    NearDup.uniqProjected(corpusK, md5GramsUdf(col("content"), lit(w)))
+      .select(col("rkey"), explode(col("payload")).as("gram"))
+
   /** `(rkey, gram)` — exploded rolling-hash fingerprints (scale sampler). */
   def rollingGramTable(corpus: DataFrame, cfg: DedupConfig): DataFrame =
     corpus.select(col("rkey"),
       explode(rollingUdf(col("content"), lit(cfg.gramWidth), lit(cfg.sampleMask))).as("gram"))
+
+  /** [[rollingGramTable]] over content-distinct representatives. */
+  def rollingGramTableUniq(corpusK: DataFrame, cfg: DedupConfig): DataFrame =
+    NearDup.uniqProjected(corpusK,
+      rollingUdf(col("content"), lit(cfg.gramWidth), lit(cfg.sampleMask)))
+      .select(col("rkey"), explode(col("payload")).as("gram"))
 
   /** Grams shared by too many documents (vendored boilerplate) — dropped from
    *  pair generation and surfaced as metrics. */
@@ -101,29 +113,115 @@ object Substring {
   def gramPairs(grams: DataFrame, minShared: Int, cap: Int): DataFrame = {
     val spark = grams.sparkSession
     import spark.implicits._
-    // same shape as the LSH candidate stage: 16-byte (bucket, id) rows, ONE
-    // co-locating exchange, local sorted run-scan with in-stream cap (see
-    // NearDup.candidatePairs), then count shared grams per id-pair
-    val g = grams.select(xxhash64(col("gram")).as("bucket"), xxhash64(col("rkey")).as("id"))
-    val idPairs = g
-      .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "id")
-      .as[(Long, Long)]
-      .mapPartitions(it => graft.functions.BucketScan.pairs(it, cap))
-      .toDF("a_id", "b_id")
-      .groupBy("a_id", "b_id")
+    // Same shape as the LSH candidate stage: ONE co-locating exchange on the
+    // gram, local sorted run-scan with in-stream cap (see
+    // NearDup.candidatePairs), then count shared grams per pair.
+    // COLLISION-SAFE: the row key rides through the scan verbatim (no 64-bit
+    // id indirection whose join-back could alias two keys) and the bucket is
+    // the RAW gram value, so a bucket run is exactly one gram. At 10⁹-row
+    // scale, swap the string key for a dictionary-assigned integer id
+    // (collision-free by construction) to narrow the shuffle — never a hash.
+    val keyed = grams.schema("gram").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        grams.select(col("gram"), col("rkey"))
+          .repartition(col("gram"))
+          .sortWithinPartitions("gram", "rkey")
+          .as[(Long, String)]
+          .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap))
+      case _ =>
+        grams.select(col("gram").cast("string"), col("rkey"))
+          .repartition(col("gram"))
+          .sortWithinPartitions("gram", "rkey")
+          .as[(String, String)]
+          .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap))
+    }
+    keyed.toDF("a_key", "b_key")
+      .groupBy("a_key", "b_key")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-    val keys = grams.select("rkey").distinct()
-    val ka = keys.select(xxhash64(col("rkey")).as("a_id"), col("rkey").as("ka"))
-    val kb = keys.select(xxhash64(col("rkey")).as("b_id"), col("rkey").as("kb"))
-    idPairs.join(ka, "a_id").join(kb, "b_id")
-      .select(least(col("ka"), col("kb")).as("a_key"),
-        greatest(col("ka"), col("kb")).as("b_key"),
-        col("n_shared"))
   }
 
-  /** Substring-pair edges with the scale sampler — feeds Stage 3 clustering. */
+  /** Substring-pair edges with the scale sampler — feeds Stage 3 clustering
+   *  (verify with [[verifiedSubstringPairs]] before handing to CC). */
   def substringPairs(corpus: DataFrame, cfg: DedupConfig): DataFrame =
     gramPairs(rollingGramTable(corpus, cfg), cfg.minSharedGrams, cfg.maxBucketSize)
+
+  /** [[substringPairs]] over content-distinct representatives. */
+  def substringPairsUniq(corpusK: DataFrame, cfg: DedupConfig): DataFrame =
+    gramPairs(rollingGramTableUniq(corpusK, cfg), cfg.minSharedGrams, cfg.maxBucketSize)
+
+  /** True iff `a` and `b` share at least one identical `w`-char window —
+   *  rolling-hash index of `a` probed by `b`, hash hits confirmed by an
+   *  exact character compare (hash collisions cannot produce a false edge). */
+  def hasSharedWindow(a: String, b: String, w: Int): Boolean = {
+    if (a == null || b == null || a.length < w || b.length < w) return false
+    val B = 257L
+    var pow = 1L
+    var k = 1
+    while (k < w) { pow *= B; k += 1 }
+    // index: rolling hash -> first position in a (collision lists are
+    // resolved by the exact compare below; storing one position per hash is
+    // enough because equal windows hash equal — a missed *extra* position
+    // only matters if two different windows collide AND the stored one
+    // mismatches; keep a small list to stay exact)
+    val idx = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * B + a.charAt(i); i += 1 }
+    var pos = 0
+    while (true) {
+      val key = java.lang.Long.valueOf(h)
+      var lst = idx.get(key)
+      if (lst == null) { lst = new java.util.ArrayList[Integer](1); idx.put(key, lst) }
+      if (lst.size < 4) lst.add(pos) // ≥4 equal-hash windows: first 4 suffice for the compare
+      if (pos + w >= a.length) {
+        // probe with b
+        var hb = 0L
+        var j = 0
+        while (j < w) { hb = hb * B + b.charAt(j); j += 1 }
+        var pb = 0
+        while (true) {
+          val hit = idx.get(java.lang.Long.valueOf(hb))
+          if (hit != null) {
+            var x = 0
+            while (x < hit.size) {
+              if (a.regionMatches(hit.get(x), b, pb, w)) return true
+              x += 1
+            }
+          }
+          if (pb + w >= b.length) return false
+          hb = (hb - b.charAt(pb) * pow) * B + b.charAt(pb + w)
+          pb += 1
+        }
+      }
+      h = (h - a.charAt(pos) * pow) * B + a.charAt(pos + w)
+      pos += 1
+    }
+    false // unreachable
+  }
+
+  private val sharedWindowUdf = udf((a: String, b: String, w: Int) => hasSharedWindow(a, b, w))
+
+  /**
+   * Verification pass: candidate pairs survive only if the two documents
+   * *actually* share a `w`-char window, confirmed byte-for-byte — no
+   * hash-collision or gram-coincidence edge can reach the cluster stage
+   * (mirror of the LSH path's exact-Jaccard verify). The content fetch is a
+   * pair-key join: only candidate members' content moves, not the corpus.
+   */
+  def verifiedSubstringPairs(pairs: DataFrame, corpusK: DataFrame, w: Int): DataFrame = {
+    // Content fetch is restricted to pair MEMBERS before any join: the pair
+    // key set (≤ 2·|pairs|, bounded upstream by the bucket cap) broadcasts,
+    // so the full corpus' content never enters an exchange — only candidate
+    // members' rows leave the scan.
+    val pk = pairs.select(col("a_key").as("rkey"))
+      .union(pairs.select(col("b_key").as("rkey"))).distinct()
+    val c = corpusK.join(broadcast(pk), Seq("rkey"), "left_semi")
+      .select("rkey", "content")
+    val ca = c.select(col("rkey").as("a_key"), col("content").as("_ca"))
+    val cb = c.select(col("rkey").as("b_key"), col("content").as("_cb"))
+    pairs.join(ca, "a_key").join(cb, "b_key")
+      .where(sharedWindowUdf(col("_ca"), col("_cb"), lit(w)))
+      .select(pairs.columns.map(col): _*) // keep the input's column order
+  }
 }

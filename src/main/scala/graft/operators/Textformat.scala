@@ -28,6 +28,29 @@ object Textformat {
   /** Metadata line `#! k: v` (textformat.rs:28-49). */
   private def meta(k: String, v: String) = s"#! $k: $v"
 
+  /** F4 — RFC2822 timestamp codec (textformat.rs:222 `to_rfc2822`,
+   *  textformat.rs:279 `parse_from_rfc2822`): chrono renders e.g.
+   *  `Tue, 1 Jul 2003 10:52:37 +0200` — day unpadded, numeric offset
+   *  (never `GMT`), English names. */
+  private val Rfc2822 = java.time.format.DateTimeFormatter
+    .ofPattern("EEE, d MMM yyyy HH:mm:ss Z", java.util.Locale.US)
+
+  def formatRfc2822(t: java.time.OffsetDateTime): String = t.format(Rfc2822)
+
+  /** Parse-or-throw (the reference's parse fails on a bad timestamp). */
+  def parseRfc2822(s: String): java.time.OffsetDateTime =
+    java.time.OffsetDateTime.parse(s, Rfc2822)
+
+  /** F8 — human-readable byte size (snapshot/mod.rs:161, executor.rs:161
+   *  via the `size` crate): binary units, two decimals above bytes. */
+  def humanBytes(n: Long): String = {
+    val units = Array("B", "KiB", "MiB", "GiB", "TiB", "PiB")
+    var v = n.toDouble
+    var u = 0
+    while (v >= 1024.0 && u < units.length - 1) { v /= 1024.0; u += 1 }
+    if (u == 0) s"$n B" else f"$v%.2f ${units(u)}"
+  }
+
   /**
    * Render a snapshot DataFrame (`group_id, rkey, size, action,
    * symlink_source`) to text lines. `generatedAt` is injected for
@@ -77,7 +100,11 @@ object Textformat {
     val rows = Seq.newBuilder[(String, String, String, Option[String])]
     lines.foreach {
       case l if l.trim.isEmpty     => // blank (textformat.rs Line::Blank)
-      case MetaRe(k, v)            => metadata += (k -> v)
+      case MetaRe(k, v)            =>
+        // generated_at must parse as RFC2822 (textformat.rs:279 errors on a
+        // malformed timestamp; we mirror that instead of passing it through)
+        if (k == "generated_at") parseRfc2822(v)
+        metadata += (k -> v)
       case l if l.startsWith("#")  => // comment
       case HashRe(h)               => current = Some(h.toLowerCase)
       case PathRe(op, path, src)   =>

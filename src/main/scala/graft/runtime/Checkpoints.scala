@@ -29,12 +29,30 @@ class RunContext(val spark: SparkSession, val runDir: String, val runId: String)
   /** Names of stages already completed (for resume reporting/tests). */
   def completed(name: String): Boolean = fs.exists(donePath(name))
 
+  private val lightStages = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
   /**
    * Materialize-or-restore a stage. On compute, the stage output is
    * instrumented with per-partition metrics before writing.
+   *
+   * `materialize = false` declares a *light* stage: no parquet barrier, no
+   * done-marker — the instrumented plan is persisted (so multiple consumers
+   * share one computation) and flows lazily into downstream stages. Light
+   * stages are pure projections that are cheap to recompute; resumability is
+   * carried by the materialized stages around them (north_rule names
+   * signatures + cluster state as the durable checkpoints). Cutting the
+   * write+read barrier on the cheap stages removes serial wall time that a
+   * higher thread count cannot shrink (the round-1 scaling profile showed
+   * 1-2 s of fixed cost per barrier regardless of data size).
    */
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
+  def stage(name: String, materialize: Boolean = true)(compute: => DataFrame): DataFrame = {
     val path = s"$runDir/$name"
+    if (!materialize) {
+      val df = metrics.instrument(compute, name)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lightStages.synchronized { lightStages += df } // stages may run concurrently
+      return df
+    }
     if (!completed(name)) {
       val t0 = System.nanoTime()
       metrics.instrument(compute, name)
@@ -47,6 +65,13 @@ class RunContext(val spark: SparkSession, val runDir: String, val runId: String)
       System.err.println(f"[graft.stage] $name ${(System.nanoTime() - t0) / 1e9}%.1f s$dbg")
     }
     spark.read.parquet(path)
+  }
+
+  /** Unpersist every light stage of this run (call when the run's outputs are
+   *  fully consumed — avoids cached-plan leaks in long-lived sessions). */
+  def cleanup(): Unit = {
+    lightStages.foreach(df => try df.unpersist(false) catch { case _: Throwable => })
+    lightStages.clear()
   }
 }
 

@@ -36,10 +36,20 @@ class Metrics(spark: SparkSession, runId: String) extends Serializable {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val t0 = System.nanoTime()
       var n = 0L
+      // Record exactly once per task: a consumer re-checking hasNext after
+      // exhaustion must not double-count, and partitions terminated early
+      // (limits) still record via the task-completion listener.
+      var recorded = false
+      def record(): Unit = if (!recorded) {
+        recorded = true
+        a.add(StageMetric(rid, stage, pid, n, System.nanoTime() - t0))
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => record()))
       new Iterator[org.apache.spark.sql.Row] {
         def hasNext: Boolean = {
           val h = it.hasNext
-          if (!h) a.add(StageMetric(rid, stage, pid, n, System.nanoTime() - t0))
+          if (!h) record()
           h
         }
         def next(): org.apache.spark.sql.Row = { n += 1; it.next() }

@@ -31,7 +31,7 @@ class SimHashSpec extends AnyFunSuite {
     val df = NearDup.dedupedByContent(
       ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey))
     val got = NearDup.simhashPairs(NearDup.simhashes(df), maxDist = 3)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2).toInt)).toSet
     assert(got === oracle)
   }
 }

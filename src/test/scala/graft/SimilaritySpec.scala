@@ -35,7 +35,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === bruteOracle)
   }
 
-  test("ANN top-k recall vs brute force is usable even on near-uniform vectors") {
+  test("ANN top-k recall vs brute force >= 0.8 (multi-probe, capped buckets)") {
     val ann = Similarity.annTopK(embeddings, 5).collect()
       .groupBy(_.getLong(0))
       .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
@@ -43,10 +43,28 @@ class SimilaritySpec extends AnyFunSuite {
       want.count(ann.getOrElse(id, Set.empty).contains).toDouble / want.size
     }
     val recall = hits.sum / hits.size
-    info(f"ANN recall@5 = $recall%.3f (tables=12, bits=4)")
+    info(f"ANN recall@5 = $recall%.3f (tables=16, bits=8, probe radius 1)")
     // near-uniform random vectors are the worst case for hyperplane LSH;
-    // the bound asserts the index is wired correctly, not tuned greatness.
-    assert(recall >= 0.5)
+    // structured embeddings only do better than this bound.
+    assert(recall >= 0.8)
+  }
+
+  test("ANN skew guard: a degenerate hot bucket is capped, candidates stay bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 300 IDENTICAL vectors — every table has one bucket holding all of them
+    val dim = 8
+    val hot = spark.range(300).select(col("id").as("vec_id"),
+      array((0 until dim).map(i => lit(0.1f * (i + 1))): _*).as("embedding"))
+    val tables = 4
+    val bits = 4
+    val idx = Similarity.annIndex(hot, tables, bits)
+    val hotBuckets = Similarity.annHotBuckets(idx, maxBucketSize = 10)
+    assert(hotBuckets.count() === tables.toLong, "each table's single bucket must trip the cap")
+    // with every bucket over the cap, candidate generation degrades to zero
+    // pairs instead of a 300² blowup
+    val ann = Similarity.annTopK(hot, 5, tables, bits, maxBucketSize = 10)
+    assert(ann.count() === 0L)
   }
 
   test("float cosine column agrees with quantized cosine to quantization error") {

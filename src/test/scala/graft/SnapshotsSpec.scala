@@ -61,6 +61,108 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(v("b") === ((true, null, true)))
   }
 
+  test("truth table: explicit symlink source hash must match the group (validation.rs:196-204)") {
+    val e = edited(
+      ("h1", "a", "keep", null),
+      ("h1", "b", "symlink", "x"),      // x exists but has hash h2
+      ("h1", "c", "symlink", "ghost"))  // ghost doesn't exist
+    val s = state(("a", "h1", 3L, null), ("b", "h1", 3L, null), ("c", "h1", 3L, null),
+      ("x", "h2", 9L, null))
+    val v = validateMap(e, s)
+    assert(v("b") === ((false, "source_hash_mismatch", false)))
+    assert(v("c") === ((false, "source_missing", false)))
+  }
+
+  test("truth table: source must not itself be a symlink (validation.rs:211-216)") {
+    // keeper 'a' is already a redirect; both explicit and implicit symlink
+    // rows pointing at it must fail
+    val e = edited(
+      ("h1", "a", "keep", null),
+      ("h1", "b", "symlink", "a"),   // explicit
+      ("h1", "c", "symlink", null))  // implicit (defaults to keeper a)
+    val s = state(("a", "h1", 3L, "z"), ("b", "h1", 3L, null), ("c", "h1", 3L, null),
+      ("z", "h1", 3L, null))
+    val v = validateMap(e, s)
+    assert(v("a") === ((false, "keep_on_symlink", false)))
+    assert(v("b") === ((false, "source_is_symlink", false)))
+    assert(v("c") === ((false, "source_is_symlink", false)))
+  }
+
+  test("truth table: existing link to a different source is OpNotAllowed; broken link re-links (validation.rs:220-256)") {
+    val e = edited(
+      ("h1", "a", "keep", null),
+      ("h1", "b", "symlink", "a"),   // already points at a → no-op
+      ("h1", "c", "symlink", "a"),   // points at z ≠ a → not allowed
+      ("h1", "d", "symlink", "a"))   // points at a missing row → re-link
+    val s = state(("a", "h1", 3L, null), ("b", "h1", 3L, "a"), ("c", "h1", 3L, "z"),
+      ("d", "h1", 3L, "gone"), ("z", "h1", 3L, null))
+    val v = validateMap(e, s)
+    assert(v("b") === ((true, null, true)))
+    assert(v("c") === ((false, "symlink_update_not_allowed", false)))
+    assert(v("d") === ((true, null, false)))
+  }
+
+  test("truth table: group must have >= 2 paths (validation.rs:49-54)") {
+    val e = edited(("h1", "a", "keep", null), ("h2", "x", "keep", null), ("h2", "y", "delete", null))
+    val s = state(("a", "h1", 3L, null), ("x", "h2", 3L, null), ("y", "h2", 3L, null))
+    val v = validateMap(e, s)
+    assert(v("a") === ((false, "corrupt_snapshot", false)))
+    assert(v("x") === ((true, null, false)))
+  }
+
+  test("truth table: allowFullDeletion accepts ONLY all-delete keeperless groups (validation.rs:56-67)") {
+    // keeperless group with a symlink row: invalid even with the flag
+    val e = edited(("h1", "a", "delete", null), ("h1", "b", "symlink", null))
+    val s = state(("a", "h1", 3L, null), ("b", "h1", 3L, null))
+    assert(validateMap(e, s, allowFull = true).values.toSet ===
+      Set((false, "no_keep_in_group", false)))
+  }
+
+  test("backup + restore round-trips the pre-apply state byte-for-byte (fileutil.rs:136-150)") {
+    val h = ExactDedup.withHashes(Corpus.synthetic(spark, 300, seed = 5L).toDF()).cache()
+    val st = Snapshots.plantedState(h).cache()
+    val v = Snapshots.validateState(Snapshots.editedSnapshot(h), st).cache()
+    val backup = Snapshots.backupRows(v, st).cache()
+    assert(backup.count() > 0, "apply must touch something")
+    val applied = Snapshots.appliedState(v, st)
+    val restored = Snapshots.restore(applied, backup)
+    val want = st.collect().map(_.toString).sorted.toSeq
+    val got = restored.collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+  }
+
+  test("skip_deduped drops fully-deduped groups after apply (snapshot/mod.rs:103-113)") {
+    val h = ExactDedup.withHashes(Corpus.synthetic(spark, 300, seed = 5L).toDF()).cache()
+    val st = Snapshots.plantedState(h)
+    val v = Snapshots.validateState(Snapshots.editedSnapshot(h), st, allowFullDeletion = true)
+    val applied = Snapshots.appliedState(v, st).cache()
+    val all = Snapshots.snapshotFromState(applied).cache()
+    val kept = Snapshots.snapshotFromState(applied, skipDeduped = true).cache()
+    assert(all.count() > kept.count(), "some groups must now be fully deduped")
+    // every surviving group is NOT in the deduped shape (one keep + symlinks)
+    val byGroup = kept.collect().groupBy(_.getString(0))
+    byGroup.values.foreach { rows =>
+      val keeps = rows.count(_.getString(2) == "keep")
+      assert(keeps != 1 || rows.length < 2,
+        s"deduped-shaped group survived skipDeduped: ${rows.head.getString(0)}")
+    }
+  }
+
+  test("dry-run announces every pending action incl. no-ops (executor.rs:53-94)") {
+    val e = edited(
+      ("h1", "a", "keep", null), ("h1", "b", "symlink", "a"),
+      ("h1", "gone", "delete", null))
+    val s = state(("a", "h1", 3L, null), ("b", "h1", 3L, null))
+    val notes = Snapshots.dryRun(Snapshots.validateState(e, s))
+      .collect().map(r => r.getAs[String]("rkey") -> r.getAs[String]("note")).toMap
+    assert(notes("b") === "[DRY RUN] File to be replaced with symlink: b -> a")
+    assert(notes("gone") === "[DRY RUN][NO-OP] File to be deleted: gone")
+    // includeNoOp surface on pendingStats (executor.rs:140-154)
+    val v = Snapshots.validateState(e, s)
+    assert(Snapshots.pendingStats(v, includeNoOp = false).head().getLong(0) === 1L)
+    assert(Snapshots.pendingStats(v, includeNoOp = true).head().getLong(0) === 2L)
+  }
+
   test("apply is idempotent: second validate against applied state has zero pending") {
     val h = ExactDedup.withHashes(Corpus.synthetic(spark, 300, seed = 5L).toDF()).cache()
     val e = Snapshots.editedSnapshot(h).cache()

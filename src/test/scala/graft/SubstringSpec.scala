@@ -50,6 +50,47 @@ class SubstringSpec extends AnyFunSuite {
     assert(oracle.nonEmpty, "fixtures must plant shared substrings")
   }
 
+  test("verification rejects planted false edges and keeps true ones") {
+    import spark.implicits._
+    // Two docs sharing a real 60-char block, one unrelated doc. A forged
+    // candidate pair (a, c) must NOT survive verification; (a, b) must.
+    val block = local.head.content.take(60)
+    val docs = Seq(
+      ("r/a", "prefix one " + block),
+      ("r/b", "a different prefix " + block),
+      ("r/c", "completely unrelated content with no shared window at all " * 3))
+      .toDF("rkey", "content")
+    val candidates = Seq(("r/a", "r/b", 2L), ("r/a", "r/c", 2L))
+      .toDF("a_key", "b_key", "n_shared")
+    val got = Substring.verifiedSubstringPairs(candidates, docs, w = 48)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("r/a", "r/b")))
+  }
+
+  test("hasSharedWindow: exact compare kills hash collisions, finds real windows") {
+    val block = "X" * 48
+    assert(Substring.hasSharedWindow("aaa" + block, block + "zzz", 48))
+    assert(!Substring.hasSharedWindow("a" * 100, "b" * 100, 48))
+    assert(!Substring.hasSharedWindow("short", "also short", 48))
+  }
+
+  test("verified rolling pairs: full pipeline keeps only byte-true edges") {
+    val df = graft.operators.NearDup.dedupedByContent(
+      ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey))
+    val raw = Substring.substringPairsUniq(
+      ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey), cfg)
+    val verified = Substring.verifiedSubstringPairs(raw,
+      ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey), cfg.gramWidth)
+    // every verified pair really shares a window (re-check in-process)
+    val contents = local.map(f => s"${f.repo}/${f.path}" -> f.content).toMap
+    verified.collect().foreach { r =>
+      assert(Substring.hasSharedWindow(contents(r.getString(0)), contents(r.getString(1)), cfg.gramWidth),
+        s"${r.getString(0)} / ${r.getString(1)} verified but shares no window")
+    }
+    // and verification is lossless here (sampled grams ARE real windows)
+    assert(verified.count() === raw.count())
+  }
+
   test("planted shared-block files are recovered") {
     // sub/ files sharing the same block id (id % 50) must pair up when both
     // sampled fingerprints of the 60-token shared block survive sampling.

@@ -63,4 +63,33 @@ class TextformatSpec extends AnyFunSuite {
     val (_, rows) = Textformat.parse(Seq("# a comment", "", "[ff]", "keep p"))
     assert(rows === Seq(("ff", "p", "keep", None)))
   }
+
+  test("RFC2822 codec round-trips and matches chrono's rendering (textformat.rs:222, 279)") {
+    val t = java.time.OffsetDateTime.of(2003, 7, 1, 10, 52, 37, 0,
+      java.time.ZoneOffset.ofHours(2))
+    // chrono to_rfc2822: unpadded day, numeric offset
+    assert(Textformat.formatRfc2822(t) === "Tue, 1 Jul 2003 10:52:37 +0200")
+    assert(Textformat.parseRfc2822("Tue, 1 Jul 2003 10:52:37 +0200") === t)
+    // zero-padded day (also legal RFC2822) parses too
+    assert(Textformat.parseRfc2822("Thu, 01 Jan 2026 00:00:00 +0000").getYear === 2026)
+    // round-trip through render/parse
+    val zero = java.time.OffsetDateTime.of(2026, 1, 1, 0, 0, 0, 0, java.time.ZoneOffset.UTC)
+    val lines = Textformat.render(snapDF(), "/corpus", Textformat.formatRfc2822(zero))
+    val (meta, _) = Textformat.parse(lines)
+    assert(Textformat.parseRfc2822(meta("generated_at")) === zero)
+  }
+
+  test("parse rejects a malformed generated_at timestamp (textformat.rs:279)") {
+    intercept[java.time.format.DateTimeParseException] {
+      Textformat.parse(Seq("#! generated_at: not-a-date"))
+    }
+  }
+
+  test("human-readable byte sizes (F8)") {
+    assert(Textformat.humanBytes(0L) === "0 B")
+    assert(Textformat.humanBytes(1023L) === "1023 B")
+    assert(Textformat.humanBytes(1024L) === "1.00 KiB")
+    assert(Textformat.humanBytes(1536L) === "1.50 KiB")
+    assert(Textformat.humanBytes(5L * 1024 * 1024 * 1024) === "5.00 GiB")
+  }
 }
