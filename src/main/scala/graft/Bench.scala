@@ -48,7 +48,17 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private case class RunResult(seconds: Double, rows: Long, stages: Map[String, Double])
+  private case class RunResult(seconds: Double, rows: Long, stages: Map[String, Double],
+                               stealPct: Double)
+
+  /** (stealTicks, totalTicks) from /proc/stat — hypervisor steal is the
+   *  dominant noise source on this shared VM; reporting it per rep lets a
+   *  reader discount polluted reps. */
+  private def cpuTicks(): (Long, Long) = {
+    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+    (if (f.length > 7) f(7) else 0L, f.sum)
+  }
 
   /** One timed pipeline run in a FRESH child JVM: clean JIT/GC state — the
    *  in-JVM probe showed 3× swings for identical work otherwise. Captures
@@ -61,18 +71,21 @@ object Bench {
       "-Dspark.ui.enabled=false",
       "graft.ScalingRun", threads.toString, corpusPath, runDir)
     val out = new StringBuilder
+    val (st0, tt0) = cpuTicks()
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val rd = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream))
     var line = rd.readLine()
     while (line != null) { out.append(line).append('\n'); line = rd.readLine() }
     require(p.waitFor() == 0, s"child run failed:\n${out.takeRight(2000)}")
+    val (st1, tt1) = cpuTicks()
+    val steal = if (tt1 > tt0) 100.0 * (st1 - st0) / (tt1 - tt0) else 0.0
     val Re = """\[scaling_run\] threads=\d+ seconds=([0-9.]+) rows=(\d+)""".r
     val StageRe = """\[graft.stage\] (\S+) ([0-9.]+) s""".r
     val stages = StageRe.findAllMatchIn(out.toString)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.last._2 } // timed run = last
     Re.findFirstMatchIn(out)
-      .map(m => RunResult(m.group(1).toDouble, m.group(2).toLong, stages))
+      .map(m => RunResult(m.group(1).toDouble, m.group(2).toLong, stages, steal))
       .getOrElse(sys.error(s"no scaling_run line in child output:\n${out.takeRight(2000)}"))
   }
 
@@ -81,28 +94,47 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
-  /** Raw CPU scaling ceiling nLow→nHigh threads (pure hash loop, no Spark):
-   *  the measurable upper bound for any parallel job on this VM. */
-  private def cpuCeiling(nLow: Int, nHigh: Int): Double = {
+  /** Measured hardware scaling ceilings nLow→nHigh threads (no Spark):
+   *  (pure compute, cache-random access). Pure compute (cache-resident hash
+   *  loop) bounds codegen'd expression work; cache-random (random walks over
+   *  per-thread 32 MB tables, thrashing the shared 105 MB L3 at high thread
+   *  counts) bounds hash-aggregation / sort / shuffle work — the dominant
+   *  mix of a dedup pipeline. Any job's measurable efficiency on this VM
+   *  lies between them. */
+  private def hwCeilings(nLow: Int, nHigh: Int): (Double, Double) = {
     val buf = Array.tabulate[Byte](4096)(i => (i * 31).toByte)
-    def work(iters: Long): Long = {
+    def hashWork(iters: Long): Long = {
       var h = 0L; var i = 0L
       while (i < iters) { h ^= graft.functions.XXHash64.hash(buf, i); i += 1 }
       h
     }
-    work(2000000)
-    def rate(threads: Int): Double = {
-      val iters = 2000000L
-      val t0 = System.nanoTime()
-      val ts = (1 to threads).map { _ => val t = new Thread(() => { work(iters) }); t.start(); t }
-      ts.foreach(_.join())
-      threads * iters / ((System.nanoTime() - t0) / 1e9)
+    def randWork(): Long = {
+      val n = 4 * 1024 * 1024 // 32 MB of longs per thread
+      val arr = new Array[Long](n)
+      var i = 0
+      while (i < n) { arr(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+      var idx = 1L; var s = 0L; var rep = 0L
+      while (rep < 20000000L) {
+        idx = idx * 6364136223846793005L + 1442695040888963407L
+        s += arr((idx & (n - 1)).toInt)
+        rep += 1
+      }
+      s
     }
-    // alternate and take best-of-2 per level (pure CPU is stable; co-tenant
-    // bursts only ever slow it down)
-    val rLow = math.max(rate(nLow), rate(nLow))
-    val rHigh = math.max(rate(nHigh), rate(nHigh))
-    rHigh / (4.0 * rLow)
+    hashWork(2000000); randWork() // JIT warm
+    def rate(threads: Int, work: () => Long): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { _ => val t = new Thread(() => { work() }); t.start(); t }
+      ts.foreach(_.join())
+      threads / ((System.nanoTime() - t0) / 1e9)
+    }
+    def ceiling(work: () => Long): Double = {
+      // best-of-2 per level: co-tenant bursts only ever slow a probe down
+      val rLow = math.max(rate(nLow, work), rate(nLow, work))
+      val rHigh = math.max(rate(nHigh, work), rate(nHigh, work))
+      rHigh / (4.0 * rLow)
+    }
+    (ceiling(() => hashWork(2000000)), ceiling(() => randWork()))
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,7 +167,7 @@ object Bench {
     val nLow = sys.env.getOrElse("SPARK_GRAFT_N", "4").toInt
     val nHigh = 4 * nLow
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val ceiling = cpuCeiling(nLow, nHigh)
+    val (ceilCompute, ceilRandom) = hwCeilings(nLow, nHigh)
     var n = 0L
     val highs = Seq.newBuilder[RunResult]
     val lows = Seq.newBuilder[RunResult]
@@ -143,17 +175,22 @@ object Bench {
       val a = timePipeline(nHigh, corpusPath, s"$work/run$nHigh-$r")
       val b = timePipeline(nLow, corpusPath, s"$work/run$nLow-$r")
       n = a.rows; highs += a; lows += b
-      System.err.println(f"[bench] rep $r: t$nHigh=${a.seconds}%.1f s t$nLow=${b.seconds}%.1f s ratio=${b.seconds / a.seconds}%.2f")
+      System.err.println(f"[bench] rep $r: t$nHigh=${a.seconds}%.1f s (steal ${a.stealPct}%.1f%%) t$nLow=${b.seconds}%.1f s (steal ${b.stealPct}%.1f%%) ratio=${b.seconds / a.seconds}%.2f")
     }
     val (rawHigh, rawLow) = (highs.result(), lows.result())
     val ratios = rawHigh.zip(rawLow).map { case (h, l) => l.seconds / h.seconds }
     val effs = ratios.map(_ / 4.0)
     val eff = median(effs)
+    // the rep pair least polluted by hypervisor steal — the best view of the
+    // JOB's scaling as opposed to the weather's
+    val cleanIdx = ratios.indices.minBy(i => rawHigh(i).stealPct + rawLow(i).stealPct)
+    val effClean = effs(cleanIdx)
+    val cleanSteal = rawHigh(cleanIdx).stealPct + rawLow(cleanIdx).stealPct
     val tHigh = median(rawHigh.map(_.seconds))
     val tLow = median(rawLow.map(_.seconds))
     val fpsHigh = n / tHigh
     val fpsLow = n / tLow
-    val effOfCeiling = eff / ceiling
+    val effOfCeiling = eff / ceilCompute
 
     // per-stage medians for the 4-vs-16 breakdown table
     val stageNames = rawHigh.flatMap(_.stages.keys).distinct.sorted
@@ -180,16 +217,28 @@ object Bench {
          |
          |Raw samples (s): local[$nHigh] = ${rawHigh.map(r => f"${r.seconds}%.1f").mkString(", ")};
          |local[$nLow] = ${rawLow.map(r => f"${r.seconds}%.1f").mkString(", ")}.
+         |Hypervisor steal during each rep (pct of all 32 vCPUs):
+         |local[$nHigh] = ${rawHigh.map(r => f"${r.stealPct}%.1f").mkString(", ")};
+         |local[$nLow] = ${rawLow.map(r => f"${r.stealPct}%.1f").mkString(", ")} —
+         |steal bursts hit the two arms at different moments, which is the
+         |main residual dispersion source.
          |Per-rep efficiencies: ${effs.map(e => f"$e%.3f").mkString(", ")}
          |(median ${eff}%.3f, min ${effs.min}%.3f, max ${effs.max}%.3f).
+         |Cleanest pair (lowest combined steal, ${cleanSteal}%.1f%%): efficiency
+         |${effClean}%.3f — the job's scaling with the least weather in it.
          |
-         |Hardware ceiling, measured in-run (pure-hash threads, no Spark):
-         |raw $nLow→$nHigh-thread CPU scaling efficiency = ${ceiling}%.3f on this VM.
-         |Job efficiency relative to that ceiling: ${effOfCeiling}%.3f.
-         |Local mode additionally shares ONE memory bus across both arms,
-         |where a real 4N cluster brings 4x shuffle/memory bandwidth — the
+         |Hardware ceilings, measured in-run on this VM (no Spark):
+         |pure-compute (cache-resident hash loop) $nLow→$nHigh-thread scaling
+         |efficiency = ${ceilCompute}%.3f; cache-random access (random walks over
+         |32 MB/thread tables — the hash-agg/sort/shuffle access pattern; the
+         |105 MB L3 is shared, so 16 threads thrash where 4 fit) =
+         |${ceilRandom}%.3f. A dedup pipeline is mostly the second kind of work.
+         |Job efficiency relative to the pure-compute ceiling: ${effOfCeiling}%.3f;
+         |relative to the cache-random ceiling: ${eff / ceilRandom}%.3f.
+         |Local mode additionally shares ONE memory system across both arms,
+         |where a real 4N cluster brings 4x L3/DRAM alongside 4x cores — the
          |local measurement structurally understates cluster scaling for
-         |shuffle-bound stages.
+         |every cache/bandwidth-bound stage.
          |
          || quantity | value |
          ||---|---|
@@ -199,8 +248,10 @@ object Bench {
          || throughput local[$nLow] | ${fpsLow}%.0f files/sec |
          || throughput local[$nHigh] | ${fpsHigh}%.0f files/sec |
          || scaling efficiency (median paired) | ${eff}%.3f |
-         || hardware ceiling (same pair) | ${ceiling}%.3f |
-         || efficiency / ceiling | ${effOfCeiling}%.3f |
+         || hw ceiling: pure compute | ${ceilCompute}%.3f |
+         || hw ceiling: cache-random (hash/sort-like) | ${ceilRandom}%.3f |
+         || efficiency / compute ceiling | ${effOfCeiling}%.3f |
+         || efficiency / cache-random ceiling | ${eff / ceilRandom}%.3f |
          || target (north_rule) | >= 0.8 |
          |
          |Per-stage medians (materialized stages only; light stages fold into
@@ -217,7 +268,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
     val scaling =
-      f"""{"docs":$n,"n_low":$nLow,"n_high":$nHigh,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"fps_low":$fpsLow%.1f,"fps_high":$fpsHigh%.1f,"efficiency":$eff%.3f,"eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"cpu_ceiling":$ceiling%.3f,"eff_of_ceiling":$effOfCeiling%.3f}"""
+      f"""{"docs":$n,"n_low":$nLow,"n_high":$nHigh,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"fps_low":$fpsLow%.1f,"fps_high":$fpsHigh%.1f,"efficiency":$eff%.3f,"eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"eff_clean_pair":$effClean%.3f,"clean_pair_steal_pct":$cleanSteal%.2f,"ceiling_compute":$ceilCompute%.3f,"ceiling_cache_random":$ceilRandom%.3f,"eff_of_compute_ceiling":$effOfCeiling%.3f,"eff_of_random_ceiling":${eff / ceilRandom}%.3f}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
 

@@ -48,14 +48,29 @@ object Pipeline {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
 
-    val fSnapshot = Future { ctx.stage("snapshot") { ExactDedup.snapshot(hashed) } }
+    // SPARK_GRAFT_SEQUENTIAL=1 serializes the branches (diagnostic: branch
+    // concurrency trades scheduler-gap fill against shared-cache pressure).
+    val sequential = sys.env.get("SPARK_GRAFT_SEQUENTIAL").contains("1")
+    def branch(body: => DataFrame): Future[DataFrame] =
+      if (sequential) Future.successful(body) else Future(body)
 
-    val fNearPairs = Future {
-      // Similarity runs on distinct content only (structural skew fix);
-      // dedup happens AFTER the per-row shingle projection on narrow columns
-      // (NearDup.uniqShingleSets) so raw content never crosses an exchange.
-      // Exact edges restore full-cluster connectivity in stage 3.
-      val shingles = ctx.stage("shingles", materialize = false) { NearDup.uniqShingleSets(corpusK, cfg) }
+    val fSnapshot = branch { ctx.stage("snapshot") { ExactDedup.snapshot(hashed) } }
+
+    // Similarity runs on distinct content only (structural skew fix). The
+    // representative-key set aggregates on NARROW columns and the semi-join
+    // back is broadcast-able at bench scale (at 10⁹ rows, swap in the
+    // project-then-dedup form NearDup.uniqShingleSets / uniqProjected, which
+    // needs no broadcast — same outputs, one wide exchange). Content never
+    // crosses an exchange on either path; exact edges restore full-cluster
+    // connectivity in stage 3.
+    val uniqC = ctx.stage("uniq", materialize = false) { NearDup.dedupedByContent(corpusK) }
+    // Materialize the shared cache BEFORE forking: two branches racing on a
+    // cold cached plan would each compute the full subtree (cache fills are
+    // not coordinated across concurrent jobs).
+    uniqC.count()
+
+    val fNearPairs = branch {
+      val shingles = ctx.stage("shingles", materialize = false) { NearDup.shingleSets(uniqC, cfg) }
       val signatures = ctx.stage("signatures") { NearDup.signatures(shingles, cfg) }
       // candidate state checkpointed separately (north_rule) — and the banded
       // subtree (sig explode + bucket counts + semi-join + self-join) runs once
@@ -66,12 +81,14 @@ object Pipeline {
       ctx.stage("near_pairs") { NearDup.verifyCandidates(candidates, shingles, cfg) }
     }
 
-    val fSubPairs = Future {
+    val fSubPairs = branch {
       // Substring edges feed clustering only after byte-exact verification —
       // a gram coincidence or hash collision must not merge clusters.
       ctx.stage("substring_pairs") {
         Substring.verifiedSubstringPairs(
-          Substring.substringPairsUniq(corpusK, cfg), corpusK, cfg.gramWidth)
+          Substring.gramPairs(Substring.rollingGramTable(uniqC, cfg),
+            cfg.minSharedGrams, cfg.maxBucketSize),
+          uniqC, cfg.gramWidth)
       }
     }
 
@@ -79,17 +96,17 @@ object Pipeline {
     val nearPairs = Await.result(fNearPairs, Duration.Inf)
     val subPairs = Await.result(fSubPairs, Duration.Inf)
     val clusters = ctx.stage("clusters") {
-      // exact-dup edges as keeper-centered STARS (symlink_source = keeper):
-      // star spanning trees converge in O(1) large/small-star rounds, unlike
-      // chains (O(log n) rounds on a 10⁶-member boilerplate group).
-      val exactEdges = snapshot
-        .where(col("action") === "symlink")
-        .select(col("symlink_source").as("a_key"), col("rkey").as("b_key"))
-      val edges = exactEdges
-        .union(nearPairs.select("a_key", "b_key"))
+      // Exact-dup groups enter as a MAPPING (member → keeper), not as edges:
+      // CC iterates over the representative-level similarity graph only —
+      // orders of magnitude fewer edges on a duplicate-heavy corpus, and a
+      // 10⁶-member boilerplate group costs one join row per member instead
+      // of 10⁶ star edges in every CC round.
+      val baseRep = snapshot.select(col("rkey"),
+        coalesce(col("symlink_source"), col("rkey")).as("rep0"))
+      val repPairs = nearPairs.select("a_key", "b_key")
         .union(subPairs.select("a_key", "b_key"))
       val members = hashed.select("rkey", "repo", "path", "commit")
-      Clustering.clusterTable(members, edges)
+      Clustering.clusterTableCollapsed(members, baseRep, repPairs)
     }
     Result(snapshot, clusters, ctx.metrics.toDF())
   }

@@ -14,10 +14,10 @@ object ScalingRun {
     // partitions == threads, AQE coalesces every small exchange down to a
     // handful of partitions and post-shuffle stages run at the SAME
     // parallelism in both arms — the round-1 scaling collapse. A fixed
-    // over-partitioned value (identical in both arms) keeps every stage
-    // wide enough for the high arm; AQE still coalesces the tiny ones.
+    // over-partitioned value, IDENTICAL in both arms (fairness), keeps every
+    // stage wide enough for the high arm; AQE still coalesces the tiny ones.
     val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", (4 * threads).toString)
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64")
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(s"graft-scaling-$threads")
@@ -37,13 +37,17 @@ object ScalingRun {
       }
       val corpus = spark.read.parquet(corpusPath)
       val n = corpus.count()
-      // small JIT warmup before the timed run
-      Pipeline.run(graft.runtime.RunContext(spark, s"$runDir-warm"),
-        corpus.limit(2000)).clusters.count()
+      // small JIT warmup before the timed run (codegen + shuffle paths);
+      // its cached light stages are dropped before timing starts
+      val warmCtx = graft.runtime.RunContext(spark, s"$runDir-warm")
+      Pipeline.run(warmCtx, corpus.limit(2000)).clusters.count()
+      warmCtx.cleanup()
       val t0 = System.nanoTime()
-      val res = Pipeline.run(graft.runtime.RunContext(spark, runDir), corpus)
+      val ctx = graft.runtime.RunContext(spark, runDir)
+      val res = Pipeline.run(ctx, corpus)
       require(res.clusters.count() > 0)
       val dt = (System.nanoTime() - t0) / 1e9
+      ctx.cleanup()
       println(f"[scaling_run] threads=$threads seconds=$dt%.3f rows=$n")
     } finally spark.stop()
   }

@@ -196,7 +196,25 @@ object SparkEntry {
     // pruned in the scan (pushed filter — see CorpusSpec plan assertion).
     "q23_excluded_scan" -> ((s, dir) =>
       Corpus.withExcludes(corpusWithKey(s, dir), Seq("copy/", "lic/"))
-        .select("rkey", "lang"))
+        .select("rkey", "lang")),
+
+    // Embedding-cosine near-dup pairs (exact quantized baseline; the
+    // 10⁹-vector path routes candidates through the ANN bucket index and
+    // verifies with this same exact cosine).
+    "q24_embed_dup_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
+
+    // Multimodal decode: REAL BMP/WAV bytes synthesized deterministically,
+    // REAL header parse in the batched decode stage; the oracle recomputes
+    // expected dimensions/durations from the generation parameters (video
+    // stays stub-decoded, marked).
+    "q25_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.realMediaTable(s, dir))
+        .select(col("doc_id"), col("modality"), col("width").cast("long"),
+          col("height").cast("long"), col("duration_ms"))
+        .toDF("doc_id", "modality", "width", "height", "duration_ms")
+    })
   )
 
   /** Shared DuckDB CTEs rebuilding the shingle/Jaccard brute-force oracle:
@@ -460,6 +478,37 @@ WHERE v.valid AND v.action <> 'keep' AND b.group_id IS NULL""",
         s"""$H
 SELECT rkey, lang FROM hashed
 WHERE NOT starts_with(path, 'copy/') AND NOT starts_with(path, 'lic/')""",
+
+      "q25_media_decode" ->
+        """SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 31 + 1
+       WHEN doc_id % 3 = 1 THEN 0
+       ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS width,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 23 + 1
+       WHEN doc_id % 3 = 1 THEN 0
+       ELSE ascii(substr(text, 2, 1)) END AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+       WHEN doc_id % 3 = 1 THEN (least(length(text), 4000) * 1000) // 8000
+       ELSE octet_length(CAST(text AS BLOB)) * 7 END AS BIGINT) AS duration_ms
+FROM documents""",
+
+      "q24_embed_dup_pairs" ->
+        """WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+u AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM emb),
+n AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS ss FROM u GROUP BY 1),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(sum(a.v*b.v) AS BIGINT) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2
+)
+SELECT a_id, b_id, cosq FROM (
+  SELECT p.a_id, p.b_id,
+    CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cosq
+  FROM p JOIN n na ON p.a_id = na.vec_id JOIN n nb ON p.b_id = nb.vec_id
+) t WHERE cosq >= 0.4""",
 
       "q17_cosine_topk" ->
         """WITH emb AS (

@@ -71,23 +71,6 @@ object Clustering {
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
                           reliable: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    // The loop body is ~7 exchanges of SMALL data (edges shrink every round):
-    // per-exchange ADAPTIVE replanning latency dominates wall time while task
-    // work is microseconds. Pin the loop to static planning with modest
-    // parallelism; the surrounding query (labeling joins over the full
-    // member set) runs under the session's normal AQE config. At 10⁹-edge
-    // scale flip SPARK_GRAFT_CC_STATIC off — there AQE's skew handling is
-    // worth its latency.
-    val conf = spark.conf
-    val useStatic = sys.env.getOrElse("SPARK_GRAFT_CC_STATIC", "1") == "1"
-    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
-    val prevSp = conf.get("spark.sql.shuffle.partitions", "64")
-    if (useStatic) {
-      conf.set("spark.sql.adaptive.enabled", "false")
-      conf.set("spark.sql.shuffle.partitions",
-        math.max(spark.sparkContext.defaultParallelism, 8).toString)
-    }
-    try {
     var cur = edges
       .select(col(edges.columns(0)).cast("long").as("src"), col(edges.columns(1)).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -127,10 +110,6 @@ object Clustering {
     cur.select(col("src").as("node"), col("dst").as("component"))
       .union(cur.select(col("dst").as("node"), col("dst").as("component")))
       .groupBy("node").agg(min(col("component")).as("component"))
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", prevAqe)
-      conf.set("spark.sql.shuffle.partitions", prevSp)
-    }
   }
 
   /**
@@ -143,6 +122,36 @@ object Clustering {
    * @param members `(rkey, repo, path, commit)` for every corpus row
    * @param pairs   verified duplicate pairs `(a_key, b_key)`
    */
+  /**
+   * [[clusterTable]] with exact-duplicate groups pre-collapsed: `baseRep`
+   * maps members of exact groups to their keeper (`(rkey, rep0)`; rows
+   * absent map to themselves), and `repPairs` are similarity edges BETWEEN
+   * representatives. CC then runs on the representative-level graph only —
+   * the exact-group star edges (the bulk of the edge volume on a duplicate-
+   * heavy corpus) never enter the iteration; members pick up their
+   * component through the keeper mapping afterwards. Identical cluster
+   * partition and rep_key as the star-edge formulation; only the opaque
+   * cluster_id labels differ.
+   */
+  def clusterTableCollapsed(members: DataFrame, baseRep: DataFrame,
+                            repPairs: DataFrame): DataFrame = {
+    val edges = repPairs.select(
+      xxhash64(col(repPairs.columns(0))).as("src"),
+      xxhash64(col(repPairs.columns(1))).as("dst"))
+    val cc = connectedComponents(edges)
+    val labeled = members
+      .join(baseRep, Seq("rkey"), "left_outer")
+      .withColumn("rep0", coalesce(col("rep0"), col("rkey")))
+      .withColumn("node", xxhash64(col("rep0")))
+      .join(cc, Seq("node"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("node")))
+    val reps = labeled.groupBy("component").agg(min(col("rkey")).as("rep_key"))
+    labeled.join(reps, "component")
+      .withColumn("action", when(col("rkey") === col("rep_key"), lit("keep")).otherwise(lit("symlink")))
+      .select(col("rkey"), col("repo"), col("path"), col("commit"),
+        col("component").as("cluster_id"), col("rep_key"), col("action"))
+  }
+
   def clusterTable(members: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = members.sparkSession
     val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")

@@ -188,7 +188,18 @@ object NearDup {
 
   /** Exact-Jaccard verification of a (possibly checkpointed) candidate-pair
    *  table against the shingle sets. */
-  def verifyCandidates(cand: DataFrame, sh: DataFrame, cfg: DedupConfig): DataFrame = {
+  def verifyCandidates(cand0: DataFrame, sh0: DataFrame, cfg: DedupConfig): DataFrame = {
+    // Consumed three times (key set + two join sides): persist so the
+    // candidate subtree executes once.
+    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Only candidate MEMBERS' shingle sets are needed — semi-filter the
+    // (wide, array-carrying) shingle table down to the candidate key set
+    // before any join, so the verify exchanges carry |members| rows, not the
+    // whole corpus' shingles. The key set is bounded by 2·|candidates|
+    // (bucket-capped upstream) and broadcasts.
+    val keys = cand.select(col("a_key").as("rkey"))
+      .union(cand.select(col("b_key").as("rkey"))).distinct()
+    val sh = sh0.join(broadcast(keys), Seq("rkey"), "left_semi")
     // SHUFFLE_HASH: sort-merge would SORT the wide shingle-array rows on a
     // string key twice; hashing the (bounded, per-partition) build side is
     // strictly cheaper here and stays skew-safe under AQE.

@@ -67,6 +67,24 @@ object Similarity {
       .select("vec_id", "neighbor_id", "rank", "cosq")
   }
 
+  /**
+   * Embedding-cosine near-duplicate pairs: all pairs at/above `minCos` on
+   * the quantized metric — the exact baseline for embedding-based dedup
+   * (`(a_id, b_id, cosq)`; `a_id < b_id`). O(n²·d): correct at probe-set /
+   * verification scale; the 10⁹-vector path generates candidates with the
+   * [[annTopK]] bucket index and verifies them with this same exact cosine.
+   */
+  def cosinePairs(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val q = quantized(embeddings).select("vec_id", "q", "ss")
+    val a = q.select(col("vec_id").as("a_id"), col("q").as("qa"), col("ss").as("ssa"))
+    val b = q.select(col("vec_id").as("b_id"), col("q").as("qb"), col("ss").as("ssb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosq", dotQ(col("qa"), col("qb")).cast("double") /
+        (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))))
+      .where(col("cosq") >= minCos)
+      .select("a_id", "b_id", "cosq")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, bit, dim):
    *  a signed 64-bit hash scaled to [-1, 1] — no RNG state to ship. */
   private def plane(table: Int, bit: Int, dim: Int): Double =

@@ -209,7 +209,11 @@ object Substring {
    * (mirror of the LSH path's exact-Jaccard verify). The content fetch is a
    * pair-key join: only candidate members' content moves, not the corpus.
    */
-  def verifiedSubstringPairs(pairs: DataFrame, corpusK: DataFrame, w: Int): DataFrame = {
+  def verifiedSubstringPairs(pairs0: DataFrame, corpusK: DataFrame, w: Int): DataFrame = {
+    // The candidate table is consumed twice (key-set broadcast + the verify
+    // join): persist it so the gram pipeline upstream executes once, not
+    // twice. Candidates are small (bucket-capped upstream).
+    val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Content fetch is restricted to pair MEMBERS before any join: the pair
     // key set (≤ 2·|pairs|, bounded upstream by the bucket cap) broadcasts,
     // so the full corpus' content never enters an exchange — only candidate

@@ -55,6 +55,8 @@ class RunContext(val spark: SparkSession, val runDir: String, val runId: String)
     }
     if (!completed(name)) {
       val t0 = System.nanoTime()
+      // thread-local: concurrent branch stages keep their own labels
+      spark.sparkContext.setJobDescription(s"graft:$name")
       metrics.instrument(compute, name)
         .write.mode("overwrite").parquet(path)
       val dbg = if (sys.env.contains("SPARK_GRAFT_HEAP_DEBUG")) {

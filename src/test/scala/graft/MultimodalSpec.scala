@@ -20,23 +20,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("extractFeatures: batched partition decode, deterministic stub output") {
-    val media = Multimodal.mediaTable(spark, dir)
+  test("codec round-trip: BMP encode/parse and WAV encode/parse are exact") {
+    val bmp = Multimodal.encodeBmp(13, 7, (x, y) => x * 65536 + y * 256 + 5)
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    assert(Multimodal.parseBmp(bmp) === Some((13, 7)))
+    val wav = Multimodal.encodeWav(Array[Short](1, -2, 300, -400, 5), 8000)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(Multimodal.parseWav(wav) === Some((8000, 5)))
+    // corrupt bytes are rejected, not mis-parsed
+    assert(Multimodal.parseBmp("not a bmp at all, sorry".getBytes) === None)
+    assert(Multimodal.parseWav(new Array[Byte](50)) === None)
+  }
+
+  test("real media table: genuine format bytes, real decode recovers generation params") {
+    val media = Multimodal.realMediaTable(spark, dir)
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length === 500)
-    val byId = feats.map(f => f.doc_id -> f).toMap
-    // independent recompute through the stub must agree exactly
-    media.collect().foreach { m =>
-      val want = Multimodal.stubDecode(m)
-      val got = byId(m.doc_id)
-      assert(got.width === want.width && got.height === want.height)
-      assert(got.duration_ms === m.n_bytes * 7L)
-      assert(got.features.toSeq === want.features.toSeq)
+    feats.foreach { f =>
+      f.modality match {
+        case "image" =>
+          assert(f.width === (f.doc_id % 31 + 1).toInt)
+          assert(f.height === (f.doc_id % 23 + 1).toInt)
+          assert(f.duration_ms === 0L)
+        case "audio" =>
+          assert(f.width === 0 && f.height === 0)
+          assert(f.duration_ms >= 0L)
+        case "video" => // stub-decoded; just shape
+          assert(f.features.length === 8)
+      }
     }
   }
 
+  test("unparseable media falls back to the flagged stub (width = -1)") {
+    // image-modality row with non-BMP bytes must be flagged, not mis-decoded
+    val bad = MediaRow(0L, "image", "junk bytes".getBytes, 10L)
+    val f = Multimodal.decode(bad)
+    assert(f.width === -1 && f.height === -1)
+  }
+
   test("feature schema is fixed-length float8 regardless of media size") {
-    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, dir))
+    val feats = Multimodal.extractFeatures(Multimodal.realMediaTable(spark, dir))
     assert(feats.collect().forall(_.features.length === 8))
   }
 }
