@@ -167,7 +167,10 @@ object Bench {
     val nLow = sys.env.getOrElse("SPARK_GRAFT_N", "4").toInt
     val nHigh = 4 * nLow
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val (ceilCompute, ceilRandom) = hwCeilings(nLow, nHigh)
+    // ceilings measured BEFORE and AFTER the reps, best-of taken per kind:
+    // the probes suffer the same steal bursts as the job; the max is the
+    // closest observable estimate of the actual hardware bound
+    val (ceilCompute0, ceilRandom0) = hwCeilings(nLow, nHigh)
     var n = 0L
     val highs = Seq.newBuilder[RunResult]
     val lows = Seq.newBuilder[RunResult]
@@ -177,6 +180,9 @@ object Bench {
       n = a.rows; highs += a; lows += b
       System.err.println(f"[bench] rep $r: t$nHigh=${a.seconds}%.1f s (steal ${a.stealPct}%.1f%%) t$nLow=${b.seconds}%.1f s (steal ${b.stealPct}%.1f%%) ratio=${b.seconds / a.seconds}%.2f")
     }
+    val (ceilCompute1, ceilRandom1) = hwCeilings(nLow, nHigh)
+    val ceilCompute = math.max(ceilCompute0, ceilCompute1)
+    val ceilRandom = math.max(ceilRandom0, ceilRandom1)
     val (rawHigh, rawLow) = (highs.result(), lows.result())
     val ratios = rawHigh.zip(rawLow).map { case (h, l) => l.seconds / h.seconds }
     val effs = ratios.map(_ / 4.0)

@@ -25,10 +25,13 @@ object Corpus {
   /**
    * S2 exclusion predicate (scanner.rs:21-22, main.rs:88): drop rows whose
    * path lives under an excluded prefix — the `--exclude` CLI flag in table
-   * form. Expressed as a conjunction of `NOT startswith` literals so Catalyst
-   * pushes it into the parquet scan (excluded subtrees are never descended,
-   * exactly like the reference's pruned BFS); with a prefix-aligned partition
-   * layout this becomes partition pruning.
+   * form. Expressed as a conjunction of `NOT startswith` literals: over a
+   * STORED corpus table (path a physical column) Catalyst pushes it into the
+   * scan (excluded subtrees never leave the source, exactly like the
+   * reference's pruned BFS — CorpusSpec asserts the PushedFilters), and with
+   * a prefix-aligned partition layout it becomes partition pruning. Over the
+   * derived test corpus (path is a computed column) it stays a post-derive
+   * filter, which is still before any hash or shuffle.
    */
   def withExcludes(corpus: DataFrame, excludePrefixes: Seq[String]): DataFrame =
     excludePrefixes.foldLeft(corpus) { (df, p) =>

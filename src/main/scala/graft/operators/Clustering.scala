@@ -71,11 +71,16 @@ object Clustering {
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
                           reliable: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    var cur = edges
+    val cur0 = edges
       .select(col(edges.columns(0)).cast("long").as("src"), col(edges.columns(1)).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
       .distinct()
+    // EAGER checkpoint of the initial edge set: the star rounds reference
+    // their input twice (join + aggregation side), and an unmaterialized
+    // input subtree — potentially a whole upstream candidate pipeline —
+    // would execute once per reference, inside every round-1 stage.
+    var cur = if (reliable) cur0.checkpoint() else cur0.localCheckpoint(true)
     var converged = false
     var it = 0
     var prevSig: (Long, Long) = (-1L, -1L)
