@@ -66,8 +66,16 @@ object Bench {
    *  warm-up's — last occurrence wins). */
   private def timePipeline(threads: Int, corpusPath: String, runDir: String): RunResult = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // ActiveProcessorCount = the arm's thread count: a local[N] JVM left to
+    // see all 32 vCPUs sizes its G1 GC workers (~23), netty pools and shuffle
+    // threads off 32 — the 16-arm then peaks at far more runnable threads
+    // than 16 and trips the hypervisor's throttling (measured: steal lands
+    // almost exclusively on the high arm). Capping makes each arm behave
+    // like a genuine N-core executor host — which is also what the N-vs-4N
+    // cluster rule is modeling.
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx12g", "-cp", System.getProperty("java.class.path"),
+      "-Xmx12g", s"-XX:ActiveProcessorCount=$threads",
+      "-cp", System.getProperty("java.class.path"),
       "-Dspark.ui.enabled=false",
       "graft.ScalingRun", threads.toString, corpusPath, runDir)
     val out = new StringBuilder
@@ -137,36 +145,11 @@ object Bench {
     (ceiling(() => hashWork(2000000)), ceiling(() => randWork()))
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
-    val work = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench").toString
-
-    // ---- Phase 1: per-query timings -------------------------------------
-    val s1 = session(cpus)
-    val queryTimes = if (sys.env.contains("SPARK_GRAFT_SCALING_ONLY")) Seq.empty
-    else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(s1, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    // Pre-materialize the scaling corpus.
-    val corpusPath = s"$work/corpus"
-    graft.corpus.Corpus.synthetic(s1, benchDocs).toDF()
-      .repartition(64).write.mode("overwrite").parquet(corpusPath)
-    s1.stop()
-
-    // ---- Phase 2: scaling evidence (N vs 4N cores) -----------------------
-    // N defaults to 4 (vs 4N=16): on this VM a local[32] JVM oversubscribes
-    // the deliverable vCPUs once Spark's service threads and the host
-    // harness are counted (CpuProbe: raw 8→32 CPU scaling ≈ 3.3x but Spark
-    // service threads push past the core count); 4 vs 16 keeps both levels
-    // inside deliverable cores. Alternating PAIRED fresh-JVM reps; the
-    // efficiency estimate is the median of per-rep ratios.
-    val nLow = sys.env.getOrElse("SPARK_GRAFT_N", "4").toInt
+  /** One N-vs-4N scaling measurement: `reps` paired alternating fresh-JVM
+   *  runs + in-run hardware ceilings. Returns (markdown section, JSON). */
+  private def scalingPair(nLow: Int, reps: Int, corpusPath: String,
+                          work: String): (String, String) = {
     val nHigh = 4 * nLow
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // ceilings measured BEFORE and AFTER the reps, best-of taken per kind:
     // the probes suffer the same steal bursts as the job; the max is the
     // closest observable estimate of the actual hardware bound
@@ -178,7 +161,7 @@ object Bench {
       val a = timePipeline(nHigh, corpusPath, s"$work/run$nHigh-$r")
       val b = timePipeline(nLow, corpusPath, s"$work/run$nLow-$r")
       n = a.rows; highs += a; lows += b
-      System.err.println(f"[bench] rep $r: t$nHigh=${a.seconds}%.1f s (steal ${a.stealPct}%.1f%%) t$nLow=${b.seconds}%.1f s (steal ${b.stealPct}%.1f%%) ratio=${b.seconds / a.seconds}%.2f")
+      System.err.println(f"[bench] pair ${nLow}v$nHigh rep $r: t$nHigh=${a.seconds}%.1f s (steal ${a.stealPct}%.1f%%) t$nLow=${b.seconds}%.1f s (steal ${b.stealPct}%.1f%%) ratio=${b.seconds / a.seconds}%.2f")
     }
     val (ceilCompute1, ceilRandom1) = hwCeilings(nLow, nHigh)
     val ceilCompute = math.max(ceilCompute0, ceilCompute1)
@@ -198,7 +181,7 @@ object Bench {
     val fpsLow = n / tLow
     val effOfCeiling = eff / ceilCompute
 
-    // per-stage medians for the 4-vs-16 breakdown table
+    // per-stage medians for the N-vs-4N breakdown table
     val stageNames = rawHigh.flatMap(_.stages.keys).distinct.sorted
     val stageTable = stageNames.map { st =>
       val h = median(rawHigh.flatMap(_.stages.get(st)))
@@ -206,45 +189,18 @@ object Bench {
       f"| $st | $l%.1f | $h%.1f | ${l / h}%.2f |"
     }.mkString("\n")
 
-    val baseline =
-      f"""# BENCH/BASELINE — measured scaling evidence
-         |
-         |Workload: full checkpointed dedup pipeline (exact sha256 snapshot +
-         |MinHash/LSH near-dup + verified substring fingerprints + connected-
-         |components clusters) over a deterministic synthetic corpus, same
-         |input at both parallelism levels (driver rule: no real cluster —
-         |local[$nLow] vs local[$nHigh] stands in for N vs 4N executors).
-         |
-         |Methodology (per round-1 advice): $reps PAIRED alternating reps,
-         |one fresh child JVM per run (clean JIT/GC state); efficiency =
-         |median over reps of (t_low_i / t_high_i) / 4 — paired ratios, not
-         |per-arm minima, because identical runs on this shared VM swing with
-         |co-tenant bursts. Dispersion is reported below.
+    val md =
+      f"""## Pair local[$nLow] vs local[$nHigh] ($reps reps)
          |
          |Raw samples (s): local[$nHigh] = ${rawHigh.map(r => f"${r.seconds}%.1f").mkString(", ")};
          |local[$nLow] = ${rawLow.map(r => f"${r.seconds}%.1f").mkString(", ")}.
          |Hypervisor steal during each rep (pct of all 32 vCPUs):
          |local[$nHigh] = ${rawHigh.map(r => f"${r.stealPct}%.1f").mkString(", ")};
-         |local[$nLow] = ${rawLow.map(r => f"${r.stealPct}%.1f").mkString(", ")} —
-         |steal bursts hit the two arms at different moments, which is the
-         |main residual dispersion source.
+         |local[$nLow] = ${rawLow.map(r => f"${r.stealPct}%.1f").mkString(", ")}.
          |Per-rep efficiencies: ${effs.map(e => f"$e%.3f").mkString(", ")}
          |(median ${eff}%.3f, min ${effs.min}%.3f, max ${effs.max}%.3f).
          |Cleanest pair (lowest combined steal, ${cleanSteal}%.1f%%): efficiency
          |${effClean}%.3f — the job's scaling with the least weather in it.
-         |
-         |Hardware ceilings, measured in-run on this VM (no Spark):
-         |pure-compute (cache-resident hash loop) $nLow→$nHigh-thread scaling
-         |efficiency = ${ceilCompute}%.3f; cache-random access (random walks over
-         |32 MB/thread tables — the hash-agg/sort/shuffle access pattern; the
-         |105 MB L3 is shared, so 16 threads thrash where 4 fit) =
-         |${ceilRandom}%.3f. A dedup pipeline is mostly the second kind of work.
-         |Job efficiency relative to the pure-compute ceiling: ${effOfCeiling}%.3f;
-         |relative to the cache-random ceiling: ${eff / ceilRandom}%.3f.
-         |Local mode additionally shares ONE memory system across both arms,
-         |where a real 4N cluster brings 4x L3/DRAM alongside 4x cores — the
-         |local measurement structurally understates cluster scaling for
-         |every cache/bandwidth-bound stage.
          |
          || quantity | value |
          ||---|---|
@@ -254,6 +210,7 @@ object Bench {
          || throughput local[$nLow] | ${fpsLow}%.0f files/sec |
          || throughput local[$nHigh] | ${fpsHigh}%.0f files/sec |
          || scaling efficiency (median paired) | ${eff}%.3f |
+         || scaling efficiency (cleanest pair) | ${effClean}%.3f |
          || hw ceiling: pure compute | ${ceilCompute}%.3f |
          || hw ceiling: cache-random (hash/sort-like) | ${ceilRandom}%.3f |
          || efficiency / compute ceiling | ${effOfCeiling}%.3f |
@@ -267,16 +224,78 @@ object Bench {
          ||---|---|---|---|
          |$stageTable
          |""".stripMargin
+    val json =
+      f"""{"docs":$n,"n_low":$nLow,"n_high":$nHigh,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"fps_low":$fpsLow%.1f,"fps_high":$fpsHigh%.1f,"efficiency":$eff%.3f,"eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"eff_clean_pair":$effClean%.3f,"clean_pair_steal_pct":$cleanSteal%.2f,"ceiling_compute":$ceilCompute%.3f,"ceiling_cache_random":$ceilRandom%.3f,"eff_of_compute_ceiling":$effOfCeiling%.3f,"eff_of_random_ceiling":${eff / ceilRandom}%.3f}"""
+    (md, json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
+    val work = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench").toString
+
+    // ---- Phase 1: per-query timings -------------------------------------
+    val s1 = session(cpus)
+    val queryTimes = if (sys.env.contains("SPARK_GRAFT_SCALING_ONLY")) Seq.empty
+    else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = try { fn(s1, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    // Pre-materialize the scaling corpus (SPARK_GRAFT_CORPUS reuses an
+    // existing parquet corpus across bench invocations — iteration speed).
+    val corpusPath = sys.env.getOrElse("SPARK_GRAFT_CORPUS", s"$work/corpus")
+    if (!new java.io.File(corpusPath).exists())
+      graft.corpus.Corpus.synthetic(s1, benchDocs).toDF()
+        .repartition(64).write.mode("overwrite").parquet(corpusPath)
+    s1.stop()
+
+    // ---- Phase 2: scaling evidence (N vs 4N cores) -----------------------
+    // Two pairs by default: local[4] vs local[16] (primary — both levels stay
+    // inside the VM's deliverable vCPUs once Spark's service threads and the
+    // host harness are counted) and local[8] vs local[32] (the driver-named
+    // evidence pair; the 32 arm saturates every vCPU, so hypervisor steal
+    // bites it hardest). Alternating PAIRED fresh-JVM reps per pair; the
+    // efficiency estimate is the median of per-rep ratios.
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS",
+      sys.env.getOrElse("SPARK_GRAFT_N", "4,8")).split(",").map(_.trim.toInt).toSeq
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val sections = pairs.map(nLow => scalingPair(nLow, reps, corpusPath, work))
+
+    val baseline =
+      s"""# BENCH/BASELINE — measured scaling evidence
+         |
+         |Workload: full checkpointed dedup pipeline (exact sha256 snapshot +
+         |MinHash/LSH near-dup + verified substring fingerprints + connected-
+         |components clusters) over a deterministic synthetic corpus, same
+         |input at both parallelism levels of each pair (driver rule: no real
+         |cluster — local[N] vs local[4N] stands in for N vs 4N executors;
+         |measured at N=4 and at the driver-named N=8).
+         |
+         |Methodology (per round-1 advice): PAIRED alternating reps,
+         |one fresh child JVM per run (clean JIT/GC state); efficiency =
+         |median over reps of (t_low_i / t_high_i) / 4 — paired ratios, not
+         |per-arm minima, because identical runs on this shared VM swing with
+         |co-tenant bursts. Dispersion and per-rep hypervisor steal are
+         |reported per pair. Hardware scaling ceilings are measured in-run
+         |(before and after the reps, best-of): no job can scale past what
+         |the VM's shared memory system delivers to plain threaded code.
+         |Local mode additionally shares ONE memory system across both arms,
+         |where a real 4N cluster brings 4x L3/DRAM alongside 4x cores — the
+         |local measurement structurally understates cluster scaling for
+         |every cache/bandwidth-bound stage.
+         |
+         |${sections.map(_._1).mkString("\n")}""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), baseline)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
-    val scaling =
-      f"""{"docs":$n,"n_low":$nLow,"n_high":$nHigh,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"fps_low":$fpsLow%.1f,"fps_high":$fpsHigh%.1f,"efficiency":$eff%.3f,"eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"eff_clean_pair":$effClean%.3f,"clean_pair_steal_pct":$cleanSteal%.2f,"ceiling_compute":$ceilCompute%.3f,"ceiling_cache_random":$ceilRandom%.3f,"eff_of_compute_ceiling":$effOfCeiling%.3f,"eff_of_random_ceiling":${eff / ceilRandom}%.3f}"""
+    val extra = sections.drop(1).map(s => s""","scaling_secondary":${s._2}""").mkString
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":${sections.head._2}$extra}""")
 
     // tmpfs hygiene: the work dir lives in RAM
     try {

@@ -16,8 +16,8 @@ import graft.runtime.RunContext
  *
  * Stage graph (each node a materialized parquet stage):
  *
- *   hashed ─→ snapshot ─────────────────────────┐
- *   shingles ─→ signatures ─→ near_pairs ───────┼─→ clusters
+ *   corpus ─→ snapshot ─────────────────────────┐
+ *   corpus ─→ signatures ─→ candidates ─→ near_pairs ─┼─→ clusters
  *   corpus ─→ substring_pairs ──────────────────┘
  *
  * This is also the benchmark workload: files/sec is measured over a full run.
@@ -28,13 +28,6 @@ object Pipeline {
 
   def run(ctx: RunContext, corpus: DataFrame, cfg: DedupConfig = DedupConfig()): Result = {
     val corpusK = ExactDedup.validRows(corpus).withColumn("rkey", ExactDedup.rkey)
-
-    // Light stages (no parquet barrier — persisted, shared by consumers;
-    // cheap map-side projections whose resumability rides on the
-    // materialized stages downstream). Heavy stages = the north_rule durable
-    // checkpoints: snapshot, signatures, candidate state, verified pairs,
-    // clusters.
-    val hashed = ctx.stage("hashed", materialize = false) { ExactDedup.withHashes(corpus, cfg.quick) }
 
     // The three edge-producing branches are independent given the scan:
     // submit them CONCURRENTLY (Spark schedules independent jobs onto idle
@@ -54,23 +47,41 @@ object Pipeline {
     def branch(body: => DataFrame): Future[DataFrame] =
       if (sequential) Future.successful(body) else Future(body)
 
-    val fSnapshot = branch { ctx.stage("snapshot") { ExactDedup.snapshot(hashed) } }
+    // Stage 1 — the exact snapshot. The hash projection is inlined (content
+    // is dropped inside the scan stage; nothing here is reused elsewhere, so
+    // persisting it would only burn cache-fill bandwidth).
+    val fSnapshot = branch {
+      ctx.stage("snapshot") { ExactDedup.snapshot(ExactDedup.withHashes(corpus, cfg.quick)) }
+    }
 
     // Similarity runs on distinct content only (structural skew fix). The
-    // representative-key set aggregates on NARROW columns and the semi-join
-    // back is broadcast-able at bench scale (at 10⁹ rows, swap in the
-    // project-then-dedup form NearDup.uniqShingleSets / uniqProjected, which
-    // needs no broadcast — same outputs, one wide exchange). Content never
-    // crosses an exchange on either path; exact edges restore full-cluster
-    // connectivity in stage 3.
-    val uniqC = ctx.stage("uniq", materialize = false) { NearDup.dedupedByContent(corpusK) }
+    // dedup itself is the NARROW codegen'd shape — `(cid → min rkey)` hash
+    // aggregate + semi-join back (NearDup.dedupedByContent) — and EVERY
+    // similarity projection (shingle hashes AND rolling-gram fingerprints)
+    // is then computed ONCE, on representatives only, straight into the
+    // shared cache. Two measured dead ends recorded here: (a) per-branch
+    // dedup aggs contend for execution memory at high thread counts (16
+    // threads ran *slower* than 4); (b) fusing the projections into the
+    // dedup via `first(struct(arrays))` forces ObjectHashAggregate's
+    // sort-based fallback over wide array rows — same inversion. Exact-group
+    // edges restore full-cluster connectivity in stage 3.
+    val uniq = ctx.stage("uniq", materialize = false) {
+      NearDup.dedupedByContent(corpusK).select(col("rkey"),
+        NearDup.shingleCol(col("content"), cfg.shingleN).as("shingles"),
+        Substring.rollingCol(col("content"), cfg.gramWidth, cfg.sampleMask).as("grams"))
+    }
     // Materialize the shared cache BEFORE forking: two branches racing on a
     // cold cached plan would each compute the full subtree (cache fills are
     // not coordinated across concurrent jobs).
-    uniqC.count()
+    val tUniq = System.nanoTime()
+    uniq.count()
+    System.err.println(f"[graft.stage] uniq ${(System.nanoTime() - tUniq) / 1e9}%.1f s")
 
     val fNearPairs = branch {
-      val shingles = ctx.stage("shingles", materialize = false) { NearDup.shingleSets(uniqC, cfg) }
+      val shingles = ctx.stage("shingles", materialize = false, persist = false) {
+        uniq.select(col("rkey"), col("shingles"), size(col("shingles")).as("n_shingles"))
+          .where(col("n_shingles") > 0)
+      }
       val signatures = ctx.stage("signatures") { NearDup.signatures(shingles, cfg) }
       // candidate state checkpointed separately (north_rule) — and the banded
       // subtree (sig explode + bucket counts + semi-join + self-join) runs once
@@ -83,12 +94,14 @@ object Pipeline {
 
     val fSubPairs = branch {
       // Substring edges feed clustering only after byte-exact verification —
-      // a gram coincidence or hash collision must not merge clusters.
+      // a gram coincidence or hash collision must not merge clusters. The
+      // verify pass fetches content for candidate members straight from the
+      // scan (semi-join on the bounded pair-key set).
       ctx.stage("substring_pairs") {
         Substring.verifiedSubstringPairs(
-          Substring.gramPairs(Substring.rollingGramTable(uniqC, cfg),
+          Substring.gramPairs(uniq.select(col("rkey"), explode(col("grams")).as("gram")),
             cfg.minSharedGrams, cfg.maxBucketSize),
-          uniqC, cfg.gramWidth)
+          corpusK, cfg.gramWidth)
       }
     }
 
@@ -105,7 +118,9 @@ object Pipeline {
         coalesce(col("symlink_source"), col("rkey")).as("rep0"))
       val repPairs = nearPairs.select("a_key", "b_key")
         .union(subPairs.select("a_key", "b_key"))
-      val members = hashed.select("rkey", "repo", "path", "commit")
+      // Narrow key columns straight from the scan (column pruning — no hash
+      // recompute, no cache): membership needs no content or hashes.
+      val members = corpusK.select("rkey", "repo", "path", "commit")
       Clustering.clusterTableCollapsed(members, baseRep, repPairs)
     }
     Result(snapshot, clusters, ctx.metrics.toDF())

@@ -433,11 +433,28 @@ SELECT rkey, status, points_to FROM (
 
       "q16_pending" ->
         s"""$H,${duckValidatedCtes(false)},
-bad AS (SELECT DISTINCT group_id FROM validated WHERE NOT valid)
-SELECT CAST(count(*) AS BIGINT) AS n_pending,
-       CAST(coalesce(sum(CASE WHEN NOT v.is_no_op THEN v.size ELSE 0 END), 0) AS BIGINT) AS freeable_bytes
-FROM validated v LEFT JOIN bad b ON v.group_id = b.group_id
-WHERE v.valid AND NOT v.is_no_op AND v.action <> 'keep' AND b.group_id IS NULL""",
+bad AS (SELECT DISTINCT group_id FROM validated WHERE NOT valid),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pending,
+         CAST(coalesce(sum(CASE WHEN NOT v.is_no_op THEN v.size ELSE 0 END), 0) AS BIGINT) AS freeable_bytes
+  FROM validated v LEFT JOIN bad b ON v.group_id = b.group_id
+  WHERE v.valid AND NOT v.is_no_op AND v.action <> 'keep' AND b.group_id IS NULL)
+SELECT n_pending, freeable_bytes,
+  CASE WHEN freeable_bytes < 1024 THEN CAST(freeable_bytes AS VARCHAR) || ' B'
+       WHEN freeable_bytes < 1048576 THEN
+         CAST((freeable_bytes*100//1024)//100 AS VARCHAR) || '.' ||
+         lpad(CAST((freeable_bytes*100//1024)%100 AS VARCHAR), 2, '0') || ' KiB'
+       WHEN freeable_bytes < 1073741824 THEN
+         CAST((freeable_bytes*100//1048576)//100 AS VARCHAR) || '.' ||
+         lpad(CAST((freeable_bytes*100//1048576)%100 AS VARCHAR), 2, '0') || ' MiB'
+       WHEN freeable_bytes < 1099511627776 THEN
+         CAST((freeable_bytes*100//1073741824)//100 AS VARCHAR) || '.' ||
+         lpad(CAST((freeable_bytes*100//1073741824)%100 AS VARCHAR), 2, '0') || ' GiB'
+       ELSE
+         CAST((freeable_bytes*100//1099511627776)//100 AS VARCHAR) || '.' ||
+         lpad(CAST((freeable_bytes*100//1099511627776)%100 AS VARCHAR), 2, '0') || ' TiB'
+  END AS freeable_human
+FROM agg""",
 
       "q21_snapshot_round2" ->
         s"""$H,${duckValidatedCtes(true)},

@@ -63,13 +63,59 @@ object Clustering {
     relinked.union(mins.select(col("src"), col("m").as("dst"))).distinct()
   }
 
+  /** Edge-count bound under which [[connectedComponents]] finishes the
+   *  (already contracted, deduplicated) graph with a driver-side union-find
+   *  instead of star rounds. 4M edges ≈ 64 MB of longs — trivially driver-
+   *  safe, while each avoided star round costs 2+ shuffles of driver-
+   *  coordinated latency that a higher core count cannot shrink. */
+  val DefaultLocalFinishEdges: Long =
+    sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES").map(_.toLong).getOrElse(4000000L)
+
+  /** Driver-side union-find over a collected edge list (min-id root wins —
+   *  identical labeling to the converged star rounds). The input edge set is
+   *  distinct + self-loop-free and BOUNDED by [[DefaultLocalFinishEdges]];
+   *  at 10⁹-row corpus scale the rep-level contracted graph can exceed the
+   *  bound, in which case the distributed star rounds below run instead. */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    val nodes = new java.util.HashSet[Long]()
+    edges.select(col("src"), col("dst")).as[(Long, Long)].collect().foreach {
+      case (a, b) =>
+        nodes.add(a); nodes.add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+    nodes.forEach(n => { out += ((n, find(n))); () })
+    spark.createDataset(out.toSeq).toDF("node", "component")
+  }
+
   /**
    * Resolve components. `edges` must have two long columns (src, dst); the
    * result maps every node id appearing in `edges` to its component's minimum
    * node id (`node`, `component`).
+   *
+   * Hybrid two-level design: the input here is already the *contracted*
+   * similarity graph (exact groups collapsed to representatives upstream);
+   * when the distinct edge set fits under `localFinishEdges` the driver
+   * finishes it with union-find in one collect — star rounds only run on
+   * graphs too large for that, where their per-round shuffle cost is
+   * amortized by real data volume.
    */
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false,
+                          localFinishEdges: Long = DefaultLocalFinishEdges): DataFrame = {
     val spark = edges.sparkSession
     val cur0 = edges
       .select(col(edges.columns(0)).cast("long").as("src"), col(edges.columns(1)).cast("long").as("dst"))
@@ -81,6 +127,7 @@ object Clustering {
     // input subtree — potentially a whole upstream candidate pipeline —
     // would execute once per reference, inside every round-1 stage.
     var cur = if (reliable) cur0.checkpoint() else cur0.localCheckpoint(true)
+    if (cur.count() <= localFinishEdges) return localComponents(cur)
     var converged = false
     var it = 0
     var prevSig: (Long, Long) = (-1L, -1L)

@@ -81,6 +81,10 @@ object NearDup {
       .agg(min(col("rkey")).as("rkey"), first(col("payload")).as("payload"))
       .select("rkey", "payload")
 
+  /** Shingle-hash projection as a column (public so the pipeline can fuse it
+   *  with other per-row projections into ONE dedup pass). */
+  def shingleCol(content: Column, n: Int): Column = shingleUdf(content, lit(n))
+
   private val shingleUdf =
     udf((content: String, n: Int) => Shingles.shingleHashes(content, n))
   private val minhashUdf =

@@ -311,10 +311,32 @@ object Snapshots {
         col("points_to"), col("n_members"))
   }
 
+  /**
+   * F8 — human-readable byte size (the reference logs freeable space through
+   * the `size` crate: snapshot/mod.rs:161, executor.rs:161). Integer-exact
+   * base-1024 rendering — "912 B", "1.42 KiB" — with two *truncated*
+   * decimals: every step is integer arithmetic (`shiftright` by 10·k bits,
+   * then div/mod 100 on a value < 102400), so the ANSI-SQL oracle reproduces
+   * it bit-for-bit with `//`/`%` — no floating-point formatting on either
+   * side. Exact for inputs below 2⁶³/100 ≈ 92 PB.
+   */
+  def humanBytes(c: Column): Column = {
+    def fmt(k: Int, unit: String): Column = {
+      val v100 = shiftright(c * 100, 10 * k) // < 102400 under the tier guard
+      concat(floor(v100 / 100).cast("long").cast("string"), lit("."),
+        lpad(pmod(v100, lit(100)).cast("string"), 2, "0"), lit(" " + unit))
+    }
+    when(c < 1024L, concat(c.cast("string"), lit(" B")))
+      .when(c < 1024L * 1024, fmt(1, "KiB"))
+      .when(c < 1024L * 1024 * 1024, fmt(2, "MiB"))
+      .when(c < 1024L * 1024 * 1024 * 1024, fmt(3, "GiB"))
+      .otherwise(fmt(4, "TiB"))
+  }
+
   /** A8/A9 (executor.rs:140-162): pending-action count + freeable bytes —
    *  valid, non-keep actions in fully-valid groups; no-ops excluded unless
    *  `includeNoOp` (executor.rs:140-154), and always free 0 bytes
-   *  (executor.rs:27-51). */
+   *  (executor.rs:27-51). `freeable_human` is the F8 log rendering. */
   def pendingStats(validated: DataFrame, includeNoOp: Boolean = false): DataFrame =
     withBadFlag(validated)
       .where(col("valid") && !col("bad") && col("action") =!= "keep" &&
@@ -322,6 +344,7 @@ object Snapshots {
       .agg(count(lit(1)).as("n_pending"),
         coalesce(sum(when(!col("is_no_op"), col("size")).otherwise(0L)), lit(0L))
           .as("freeable_bytes"))
+      .withColumn("freeable_human", humanBytes(col("freeable_bytes")))
 
   /**
    * Dry-run view (executor.rs:53-94, invoked executor.rs:190-193 with

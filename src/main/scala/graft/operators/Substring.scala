@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.XXHash64
@@ -77,6 +77,11 @@ object Substring {
 
   private val md5GramsUdf = udf((c: String, w: Int) => md5SampledGrams(c, w))
   private val rollingUdf = udf((c: String, w: Int, m: Long) => rollingFingerprints(c, w, m))
+
+  /** Rolling-fingerprint projection as a column (public so the pipeline can
+   *  fuse it with other per-row projections into ONE dedup pass). */
+  def rollingCol(content: Column, w: Int, sampleMask: Long): Column =
+    rollingUdf(content, lit(w), lit(sampleMask))
 
   /** `(rkey, gram)` — exploded sampled md5 grams (oracle-parity sampler). */
   def sampledGramTable(corpus: DataFrame, w: Int): DataFrame =

@@ -44,12 +44,18 @@ class RunContext(val spark: SparkSession, val runDir: String, val runId: String)
    * write+read barrier on the cheap stages removes serial wall time that a
    * higher thread count cannot shrink (the round-1 scaling profile showed
    * 1-2 s of fixed cost per barrier regardless of data size).
+   *
+   * `persist = false` (light stages only) skips the cache too: for a plain
+   * projection of an already-persisted stage, a second cache copy would only
+   * burn fill bandwidth.
    */
-  def stage(name: String, materialize: Boolean = true)(compute: => DataFrame): DataFrame = {
+  def stage(name: String, materialize: Boolean = true, persist: Boolean = true)
+           (compute: => DataFrame): DataFrame = {
     val path = s"$runDir/$name"
     if (!materialize) {
-      val df = metrics.instrument(compute, name)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df0 = metrics.instrument(compute, name)
+      if (!persist) return df0
+      val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       lightStages.synchronized { lightStages += df } // stages may run concurrently
       return df
     }

@@ -48,6 +48,20 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-finish and distributed star rounds label identically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 500).map(_ => (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val local = Clustering.connectedComponents(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // localFinishEdges = 0 forces the large/small-star iteration
+    val dist = Clustering.connectedComponents(df, localFinishEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(local === dist)
+  }
+
   test("star graph and disjoint pairs") {
     val star = (1L to 50L).map(i => (0L, i))
     assert(run(star).values.toSet === Set(0L))

@@ -87,11 +87,11 @@ class PipelineSpec extends AnyFunSuite {
     res.clusters.count()
     val m = res.metrics.collect()
     val stages = m.map(_.getAs[String]("stage")).toSet
-    assert(Set("hashed", "snapshot", "shingles", "signatures", "near_pairs",
+    assert(Set("snapshot", "shingles", "signatures", "near_pairs",
       "substring_pairs", "clusters").subsetOf(stages))
     // row totals in metrics match the materialized stage row counts
-    val hashedRows = m.filter(_.getAs[String]("stage") == "hashed").map(_.getAs[Long]("rows")).sum
-    assert(hashedRows === corpus.count())
+    val clusterRows = m.filter(_.getAs[String]("stage") == "clusters").map(_.getAs[Long]("rows")).sum
+    assert(clusterRows === corpus.count())
     assert(m.forall(_.getAs[Long]("nanos") >= 0))
   }
 }
