@@ -56,17 +56,30 @@ object Pipeline {
 
     // Similarity runs on distinct content only (structural skew fix). The
     // dedup itself is the NARROW codegen'd shape — `(cid → min rkey)` hash
-    // aggregate + semi-join back (NearDup.dedupedByContent) — and EVERY
-    // similarity projection (shingle hashes AND rolling-gram fingerprints)
-    // is then computed ONCE, on representatives only, straight into the
-    // shared cache. Two measured dead ends recorded here: (a) per-branch
-    // dedup aggs contend for execution memory at high thread counts (16
-    // threads ran *slower* than 4); (b) fusing the projections into the
-    // dedup via `first(struct(arrays))` forces ObjectHashAggregate's
+    // aggregate + a semi-join back — and EVERY similarity projection
+    // (shingle hashes AND rolling-gram fingerprints) is then computed ONCE,
+    // on representatives only, straight into the shared cache. While the
+    // corpus fits the gate, the key set BROADCASTS so the content side never
+    // enters an exchange (the semi-filter + projections stay in the scan
+    // stage — the shape that scales with cores); past the gate the
+    // shuffle-hash semi runs instead. Two measured dead ends recorded here:
+    // (a) per-branch dedup aggs contend for execution memory at high thread
+    // counts (16 threads ran *slower* than 4); (b) fusing the projections
+    // into the dedup via `first(struct(arrays))` forces ObjectHashAggregate's
     // sort-based fallback over wide array rows — same inversion. Exact-group
     // edges restore full-cluster connectivity in stage 3.
+    // The interior of the pipeline is keyed by `id = xxhash64(rkey)` — the
+    // same 64-bit node ids the cluster stage labels components with. Strings
+    // appear only at the boundary tables (snapshot, members, cluster table);
+    // every pair exchange, verify join and gram/band shuffle moves 8-byte
+    // ids (the 4→16-core profile put the scaling loss squarely on shuffle
+    // bytes through the shared memory system).
+    val nCorpusRows = corpus.count() // parquet metadata count — no scan
     val uniq = ctx.stage("uniq", materialize = false) {
-      NearDup.dedupedByContent(corpusK).select(col("rkey"),
+      val deduped =
+        if (nCorpusRows <= cfg.repBroadcastMaxRows) NearDup.dedupedByContentBroadcast(corpusK)
+        else NearDup.dedupedByContent(corpusK)
+      deduped.select(xxhash64(col("rkey")).as("id"),
         NearDup.shingleCol(col("content"), cfg.shingleN).as("shingles"),
         Substring.rollingCol(col("content"), cfg.gramWidth, cfg.sampleMask).as("grams"))
     }
@@ -79,29 +92,29 @@ object Pipeline {
 
     val fNearPairs = branch {
       val shingles = ctx.stage("shingles", materialize = false, persist = false) {
-        uniq.select(col("rkey"), col("shingles"), size(col("shingles")).as("n_shingles"))
+        uniq.select(col("id"), col("shingles"), size(col("shingles")).as("n_shingles"))
           .where(col("n_shingles") > 0)
       }
-      val signatures = ctx.stage("signatures") { NearDup.signatures(shingles, cfg) }
+      val signatures = ctx.stage("signatures") { NearDup.signaturesById(shingles, cfg) }
       // candidate state checkpointed separately (north_rule) — and the banded
       // subtree (sig explode + bucket counts + semi-join + self-join) runs once
       // instead of once per downstream consumer.
       val candidates = ctx.stage("candidates") {
-        NearDup.candidatePairs(NearDup.banded(signatures, cfg), signatures, cfg)
+        NearDup.candidateIdPairs(NearDup.bandedById(signatures, cfg), cfg)
       }
-      ctx.stage("near_pairs") { NearDup.verifyCandidates(candidates, shingles, cfg) }
+      ctx.stage("near_pairs") { NearDup.verifyCandidatesById(candidates, shingles, cfg) }
     }
 
     val fSubPairs = branch {
       // Substring edges feed clustering only after byte-exact verification —
       // a gram coincidence or hash collision must not merge clusters. The
       // verify pass fetches content for candidate members straight from the
-      // scan (semi-join on the bounded pair-key set).
+      // scan (semi-join on the bounded pair-id set), keyed by node id.
       ctx.stage("substring_pairs") {
         Substring.verifiedSubstringPairs(
-          Substring.gramPairs(uniq.select(col("rkey"), explode(col("grams")).as("gram")),
+          Substring.gramPairs(uniq.select(col("id"), explode(col("grams")).as("gram")),
             cfg.minSharedGrams, cfg.maxBucketSize),
-          corpusK, cfg.gramWidth)
+          corpusK.select(xxhash64(col("rkey")).as("rkey"), col("content")), cfg.gramWidth)
       }
     }
 
@@ -116,8 +129,11 @@ object Pipeline {
       // of 10⁶ star edges in every CC round.
       val baseRep = snapshot.select(col("rkey"),
         coalesce(col("symlink_source"), col("rkey")).as("rep0"))
-      val repPairs = nearPairs.select("a_key", "b_key")
-        .union(subPairs.select("a_key", "b_key"))
+      // Near-dup pairs come id-keyed (a_id, b_id); substring pairs carry the
+      // same ids under the generic (a_key, b_key) names — both are already
+      // cluster node ids, no hashing or join-back needed downstream.
+      val repPairs = nearPairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(subPairs.select(col("a_key").as("src"), col("b_key").as("dst")))
       // Narrow key columns straight from the scan (column pruning — no hash
       // recompute, no cache): membership needs no content or hashes.
       val members = corpusK.select("rkey", "repo", "path", "commit")

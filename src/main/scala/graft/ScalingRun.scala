@@ -27,6 +27,9 @@ object ScalingRun {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .config("spark.eventLog.enabled", sys.env.contains("SPARK_GRAFT_EVENTLOG").toString)
+      .config("spark.eventLog.dir", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "/tmp/spark-events"))
+      .config("spark.eventLog.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

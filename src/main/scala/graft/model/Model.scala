@@ -77,6 +77,11 @@ case class DedupConfig(
     sampleMask: Long = 63L,
     /** Minimum shared sampled grams to emit a substring-pair edge. */
     minSharedGrams: Int = 2,
+    /** Corpus row count at or under which the content-dedup representative
+     *  key set broadcasts (the big side then never shuffles its content);
+     *  above it, the shuffle-hash semi-join runs instead — at 10⁹ rows the
+     *  key set no longer fits an executor broadcast budget. */
+    repBroadcastMaxRows: Long = 2000000L,
     quick: Boolean = false,
     seed: Long = 42L) {
   require(minhashK == bands * rowsPerBand, "minhashK must equal bands*rowsPerBand")

@@ -187,9 +187,17 @@ object Clustering {
    */
   def clusterTableCollapsed(members: DataFrame, baseRep: DataFrame,
                             repPairs: DataFrame): DataFrame = {
-    val edges = repPairs.select(
-      xxhash64(col(repPairs.columns(0))).as("src"),
-      xxhash64(col(repPairs.columns(1))).as("dst"))
+    // Pair columns may arrive as row-key strings (hashed to node ids here)
+    // or already as 64-bit node ids (the pipeline's narrow interior form —
+    // xxhash64(rkey) by construction, so both spellings label identically).
+    val edges = repPairs.schema(repPairs.columns(0)).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        repPairs.select(col(repPairs.columns(0)).as("src"),
+          col(repPairs.columns(1)).as("dst"))
+      case _ => repPairs.select(
+        xxhash64(col(repPairs.columns(0))).as("src"),
+        xxhash64(col(repPairs.columns(1))).as("dst"))
+    }
     val cc = connectedComponents(edges)
     val labeled = members
       .join(baseRep, Seq("rkey"), "left_outer")

@@ -56,6 +56,18 @@ object NearDup {
   def dedupedByContent(corpusK: DataFrame): DataFrame =
     corpusK.join(representativeKeys(corpusK).hint("SHUFFLE_HASH"), Seq("rkey"), "left_semi")
 
+  /** [[dedupedByContent]] with the representative key set BROADCAST: the
+   *  corpus side then never enters an exchange at all — the semi-filter and
+   *  any downstream per-row projection stay in the scan stage, which is the
+   *  shape that scales with cores (a shuffled semi-join moves the full
+   *  content through the memory system once, and that bandwidth is shared
+   *  across all cores of a local/executor host). Only valid while the key
+   *  set fits the broadcast budget (`cfg.repBroadcastMaxRows` gates this in
+   *  the pipeline); the aggregation producing the key set is narrow
+   *  `(cid, min rkey)` with map-side combine either way. */
+  def dedupedByContentBroadcast(corpusK: DataFrame): DataFrame =
+    corpusK.join(broadcast(representativeKeys(corpusK)), Seq("rkey"), "left_semi")
+
   /** Minimum `rkey` per distinct content — narrow columns only. */
   def representativeKeys(corpusK: DataFrame): DataFrame =
     corpusK
@@ -119,6 +131,13 @@ object NearDup {
       col("rkey"),
       minhashUdf(col("shingles"), lit(cfg.minhashK)).as("sig"))
 
+  /** [[signatures]] keyed by the 64-bit node id (`id` column) instead of the
+   *  row-key string — the pipeline-internal form (see [[candidateIdPairs]]). */
+  def signaturesById(shingles: DataFrame, cfg: DedupConfig): DataFrame =
+    shingles.select(
+      col("id"),
+      minhashUdf(col("shingles"), lit(cfg.minhashK)).as("sig"))
+
   /**
    * Exploded LSH buckets `(band_hash, id, rkey)` — one row per (doc, band).
    * The band index is folded INTO the bucket hash (bandHashes seeds each
@@ -134,6 +153,13 @@ object NearDup {
       xxhash64(col("rkey")).as("id"),
       explode(bandUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand))).as("band_hash"))
 
+  /** [[banded]] over [[signaturesById]] output — the id column passes through
+   *  instead of being derived from the key string. */
+  def bandedById(signatures: DataFrame, cfg: DedupConfig): DataFrame =
+    signatures.select(
+      col("id"),
+      explode(bandUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand))).as("band_hash"))
+
   /** Buckets dropped by the skew guard, with sizes — the lineage/metrics view
    *  required by north_rule ("cap skewed buckets, report them"). */
   def droppedBuckets(banded: DataFrame, cfg: DedupConfig): DataFrame =
@@ -145,24 +171,40 @@ object NearDup {
    * size 1 carry no pairs; buckets over the cap are dropped (see class doc).
    * `keys` maps ids back to row keys (from the same signatures table).
    */
-  def candidatePairs(banded: DataFrame, keys: DataFrame, cfg: DedupConfig): DataFrame = {
+  /**
+   * Distinct candidate id pairs `(a_id, b_id)` — the pipeline-internal form.
+   * ONE exchange: co-locate each bucket (north_rule repartition), sort
+   * locally, scan runs of equal bucket hash. A groupBy-count prepass would
+   * hash-aggregate ~docs×bands nearly-all-distinct keys — no map-side
+   * combine benefit, giant spilling hash maps; the sorted run-scan replaces
+   * three full-width exchanges with this single one. The cap is enforced
+   * in-stream with bounded buffering (a mega-bucket buffers cap+1 ids,
+   * then drains without emitting).
+   *
+   * The ids are `xxhash64(rkey)` — the SAME 64-bit node ids the cluster
+   * stage keys its component graph by — so downstream verification and CC
+   * consume these pairs with **no key join-back and no string shuffles**
+   * (at 16 parallel cores the shuffle-write path is the measured scaling
+   * limiter; every byte through it is shared-memory-system traffic). An id
+   * collision can only *add* a candidate pair, which verification then
+   * discards or, at worst, merges exactly as the hash-node cluster graph
+   * would — the documented trade of the 64-bit node id space.
+   */
+  def candidateIdPairs(banded: DataFrame, cfg: DedupConfig): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
-    // ONE exchange: co-locate each bucket (north_rule repartition), sort
-    // locally, scan runs of equal bucket hash. A groupBy-count prepass would
-    // hash-aggregate ~docs×bands nearly-all-distinct keys — no map-side
-    // combine benefit, giant spilling hash maps; the sorted run-scan replaces
-    // three full-width exchanges with this single one. The cap is enforced
-    // in-stream with bounded buffering (a mega-bucket buffers cap+1 ids,
-    // then drains without emitting).
     val cap = cfg.maxBucketSize
-    val idPairs = banded
+    banded
       .repartition(col("band_hash"))
       .sortWithinPartitions("band_hash", "id")
       .select(col("band_hash"), col("id")).as[(Long, Long)]
       .mapPartitions(it => graft.functions.BucketScan.pairs(it, cap))
       .toDF("a_id", "b_id")
       .distinct()
+  }
+
+  def candidatePairs(banded: DataFrame, keys: DataFrame, cfg: DedupConfig): DataFrame = {
+    val idPairs = candidateIdPairs(banded, cfg)
     val ka = keys.select(xxhash64(col("rkey")).as("a_id"), col("rkey").as("ka"))
     val kb = keys.select(xxhash64(col("rkey")).as("b_id"), col("rkey").as("kb"))
     // id order ≠ key order: normalize the pair to key order after mapping
@@ -217,6 +259,27 @@ object NearDup {
       .withColumn("jaccard", col("n_intersect").cast("double") / col("n_union"))
       .where(col("jaccard") >= cfg.jaccardThreshold)
       .select("a_key", "b_key", "n_intersect", "n_union", "jaccard")
+  }
+
+  /** [[verifyCandidates]] in id space: candidates are `(a_id, b_id)` from
+   *  [[candidateIdPairs]], shingle sets are keyed by `id` — same exact-Jaccard
+   *  math, no string key ever enters an exchange. Output
+   *  `(a_id, b_id, n_intersect, n_union, jaccard)`. */
+  def verifyCandidatesById(cand0: DataFrame, sh0: DataFrame, cfg: DedupConfig): DataFrame = {
+    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = cand.select(col("a_id").as("id"))
+      .union(cand.select(col("b_id").as("id"))).distinct()
+    val sh = sh0.join(broadcast(keys), Seq("id"), "left_semi")
+    val shA = sh.hint("SHUFFLE_HASH")
+      .select(col("id").as("a_id"), col("shingles").as("sh_a"), col("n_shingles").as("n_a"))
+    val shB = sh.hint("SHUFFLE_HASH")
+      .select(col("id").as("b_id"), col("shingles").as("sh_b"), col("n_shingles").as("n_b"))
+    cand.join(shA, "a_id").join(shB, "b_id")
+      .withColumn("n_intersect", jaccardCountUdf(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("n_union", (col("n_a") + col("n_b") - col("n_intersect")).cast("long"))
+      .withColumn("jaccard", col("n_intersect").cast("double") / col("n_union"))
+      .where(col("jaccard") >= cfg.jaccardThreshold)
+      .select("a_id", "b_id", "n_intersect", "n_union", "jaccard")
   }
 
   /** SimHash per document (alternative near-dup sketch; 64-bit, Hamming

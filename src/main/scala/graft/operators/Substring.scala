@@ -120,27 +120,42 @@ object Substring {
     import spark.implicits._
     // Same shape as the LSH candidate stage: ONE co-locating exchange on the
     // gram, local sorted run-scan with in-stream cap (see
-    // NearDup.candidatePairs), then count shared grams per pair.
-    // COLLISION-SAFE: the row key rides through the scan verbatim (no 64-bit
-    // id indirection whose join-back could alias two keys) and the bucket is
-    // the RAW gram value, so a bucket run is exactly one gram. At 10⁹-row
-    // scale, swap the string key for a dictionary-assigned integer id
-    // (collision-free by construction) to narrow the shuffle — never a hash.
-    val keyed = grams.schema("gram").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        grams.select(col("gram"), col("rkey"))
+    // NearDup.candidateIdPairs), then count shared grams per pair.
+    // The row key rides through the scan verbatim and the bucket is the RAW
+    // gram value, so a bucket run is exactly one gram. The key column is
+    // whichever input column isn't `gram`: STRING keys keep the oracle path
+    // free of any id indirection; LONG keys (the pipeline passes the 64-bit
+    // cluster node ids) cut the exchange row from ~70 to 16 bytes — at 16
+    // parallel cores the shuffle-write path is the measured scaling limiter.
+    // Every emitted edge is byte-verified downstream either way
+    // ([[verifiedSubstringPairs]]), so an id collision cannot create a false
+    // edge beyond what the hash-node cluster graph already accepts.
+    import org.apache.spark.sql.types.LongType
+    val keyName = grams.columns.filter(_ != "gram").head
+    val keyed = (grams.schema("gram").dataType, grams.schema(keyName).dataType) match {
+      case (LongType, LongType) =>
+        grams.select(col("gram"), col(keyName))
           .repartition(col("gram"))
-          .sortWithinPartitions("gram", "rkey")
+          .sortWithinPartitions("gram", keyName)
+          .as[(Long, Long)]
+          .mapPartitions(it => graft.functions.BucketScan.pairs(it, cap))
+          .toDF("a_key", "b_key")
+      case (LongType, _) =>
+        grams.select(col("gram"), col(keyName))
+          .repartition(col("gram"))
+          .sortWithinPartitions("gram", keyName)
           .as[(Long, String)]
           .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap))
+          .toDF("a_key", "b_key")
       case _ =>
-        grams.select(col("gram").cast("string"), col("rkey"))
+        grams.select(col("gram").cast("string"), col(keyName))
           .repartition(col("gram"))
-          .sortWithinPartitions("gram", "rkey")
+          .sortWithinPartitions("gram", keyName)
           .as[(String, String)]
           .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap))
+          .toDF("a_key", "b_key")
     }
-    keyed.toDF("a_key", "b_key")
+    keyed
       .groupBy("a_key", "b_key")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
