@@ -130,13 +130,22 @@ object SparkEntry {
     // Document fingerprinting (min-gram winnowing degenerate case).
     "q12_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(corpusWithKey(s, dir), 48)),
 
-    // Scale-path rolling-hash substring pairs, byte-exact verified (no SQL
-    // oracle — one-pass Rabin-Karp sampler; planted-block recall and
-    // planted-false-edge rejection proven in SubstringSpec).
+    // Rolling-hash substring pass, sampling OFF (mask=0 ⇒ every window
+    // fingerprinted) + byte-exact verify: the result is EXACTLY "all
+    // representative pairs sharing ≥1 verbatim 48-char window", which the
+    // DuckDB oracle computes independently by a substring self-join — a full
+    // oracle over the one-pass Rabin-Karp path (the sampled+capped variant
+    // of the same operators is the bench pipeline's scale path; planted-
+    // block recall and false-edge rejection are additionally SubstringSpec-
+    // proven there).
     "q13_rolling_pairs" -> ((s, dir) => {
       val cK = corpusWithKey(s, dir)
       Substring.verifiedSubstringPairs(
-        Substring.substringPairsUniq(cK, cfg), cK, cfg.gramWidth)
+        Substring.gramPairs(
+          Substring.rollingGramTableUniq(cK, cfg.copy(sampleMask = 0L)),
+          minShared = 1, cap = Int.MaxValue),
+        cK, cfg.gramWidth)
+        .select("a_key", "b_key")
     }),
 
     // J1/J2 — the FULL validation truth table (validation.rs:305-335 +
@@ -383,6 +392,23 @@ offs AS (
   FROM hashed WHERE length(content) >= 48
 )
 SELECT rkey, min(md5(substr(content, i, 48))) AS fingerprint FROM offs GROUP BY rkey""",
+
+      // Exact semantics: representative pairs sharing >= 1 verbatim 48-char
+      // window — the oracle enumerates every window and self-joins; the
+      // engine reaches the same set via rolling fingerprints (mask=0) plus
+      // byte verification (no-false-positive guarantee makes parity exact).
+      "q13_rolling_pairs" ->
+        s"""$H,
+uniq13 AS (
+  SELECT min(rkey) AS rkey, min(content) AS content FROM hashed GROUP BY group_id
+),
+offs13 AS (
+  SELECT rkey, content, unnest(generate_series(1, length(content) - 47)) AS i
+  FROM uniq13 WHERE length(content) >= 48
+),
+wins13 AS (SELECT DISTINCT rkey, substr(content, i, 48) AS w FROM offs13)
+SELECT DISTINCT a.rkey AS a_key, b.rkey AS b_key
+FROM wins13 a JOIN wins13 b ON a.w = b.w AND a.rkey < b.rkey""",
 
       "q08_simhash_pairs" ->
         s"""$H,
