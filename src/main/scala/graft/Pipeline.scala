@@ -99,9 +99,20 @@ object Pipeline {
       // candidate state checkpointed separately (north_rule) — and the banded
       // subtree (sig explode + bucket counts + semi-join + self-join) runs once
       // instead of once per downstream consumer.
+      // Skew drops are COUNTED in-stream (BucketScan onDrop → accumulators)
+      // and surfaced as metrics rows — "cap skewed buckets, report them,
+      // never silently" (north_rule) at zero extra pass cost.
+      val dropsB = ctx.spark.sparkContext.longAccumulator("graft.candidates.dropped_buckets")
+      val dropsR = ctx.spark.sparkContext.longAccumulator("graft.candidates.dropped_members")
       val candidates = ctx.stage("candidates") {
-        NearDup.candidateIdPairs(NearDup.bandedById(signatures, cfg), cfg)
+        NearDup.candidateIdPairs(NearDup.bandedById(signatures, cfg), cfg,
+          n => { dropsB.add(1L); dropsR.add(n) })
       }
+      ctx.metrics.record("candidates.dropped_buckets", dropsB.value)
+      ctx.metrics.record("candidates.dropped_members", dropsR.value)
+      if (dropsB.value > 0)
+        System.err.println(s"[graft.skew] candidates: ${dropsB.value} hot LSH buckets " +
+          s"(${dropsR.value} member rows) over cap ${cfg.maxBucketSize} — dropped, exact stage covers their identical members")
       ctx.stage("near_pairs") { NearDup.verifyCandidatesById(candidates, shingles, cfg) }
     }
 
@@ -110,12 +121,18 @@ object Pipeline {
       // a gram coincidence or hash collision must not merge clusters. The
       // verify pass fetches content for candidate members straight from the
       // scan (semi-join on the bounded pair-id set), keyed by node id.
-      ctx.stage("substring_pairs") {
+      val dropsG = ctx.spark.sparkContext.longAccumulator("graft.substring.dropped_grams")
+      val out = ctx.stage("substring_pairs") {
         Substring.verifiedSubstringPairs(
           Substring.gramPairs(uniq.select(col("id"), explode(col("grams")).as("gram")),
-            cfg.minSharedGrams, cfg.maxBucketSize),
+            cfg.minSharedGrams, cfg.maxBucketSize, n => dropsG.add(n)),
           corpusK.select(xxhash64(col("rkey")).as("rkey"), col("content")), cfg.gramWidth)
       }
+      ctx.metrics.record("substring_pairs.dropped_gram_rows", dropsG.value)
+      if (dropsG.value > 0)
+        System.err.println(s"[graft.skew] substring: ${dropsG.value} gram rows in hot " +
+          s"buckets over cap ${cfg.maxBucketSize} — dropped (boilerplate grams), reported here")
+      out
     }
 
     val snapshot = Await.result(fSnapshot, Duration.Inf)

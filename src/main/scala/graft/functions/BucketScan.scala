@@ -8,7 +8,13 @@ package graft.functions
  * holds at most cap+1 ids in memory, then drains without emitting.
  */
 object BucketScan extends Serializable {
-  def pairs(it: Iterator[(Long, Long)], cap: Int): Iterator[(Long, Long)] =
+  /** `onDrop(runLength)` fires once per bucket run skipped by the cap — the
+   *  north_rule "report capped buckets, never silently" hook, fed by the
+   *  pipeline with Spark accumulators at zero extra pass cost (the run
+   *  length is counted while draining anyway). Task retries may re-fire it;
+   *  the counts are diagnostics, not query results. */
+  def pairs(it: Iterator[(Long, Long)], cap: Int,
+            onDrop: Long => Unit = _ => ()): Iterator[(Long, Long)] =
     new Iterator[(Long, Long)] {
       private val buf = new scala.collection.mutable.ArrayBuffer[Long]()
       private var pending: Iterator[(Long, Long)] = Iterator.empty
@@ -16,8 +22,10 @@ object BucketScan extends Serializable {
       private def refill(): Unit = {
         while (!pending.hasNext && cur.isDefined) {
           val bucket = cur.get._1
+          var runLen = 0L
           buf.clear()
           while (cur.isDefined && cur.get._1 == bucket) {
+            runLen += 1
             if (buf.length <= cap) buf += cur.get._2
             cur = if (it.hasNext) Some(it.next()) else None
           }
@@ -27,7 +35,7 @@ object BucketScan extends Serializable {
               i <- ids.indices.iterator
               j <- ((i + 1) until ids.length).iterator
             } yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))
-          }
+          } else if (runLen > cap) onDrop(runLen)
         }
       }
       def hasNext: Boolean = { refill(); pending.hasNext }
@@ -41,7 +49,8 @@ object BucketScan extends Serializable {
    * engine's (`Ordering[String]` = Java lexicographic = Spark/DuckDB binary
    * collation for ASCII keys).
    */
-  def pairsKeyed[B, K](it: Iterator[(B, K)], cap: Int)(implicit ord: Ordering[K]): Iterator[(K, K)] =
+  def pairsKeyed[B, K](it: Iterator[(B, K)], cap: Int,
+                       onDrop: Long => Unit = _ => ())(implicit ord: Ordering[K]): Iterator[(K, K)] =
     new Iterator[(K, K)] {
       private val buf = new scala.collection.mutable.ArrayBuffer[K]()
       private var pending: Iterator[(K, K)] = Iterator.empty
@@ -49,11 +58,14 @@ object BucketScan extends Serializable {
       private def refill(): Unit = {
         while (!pending.hasNext && cur.isDefined) {
           val bucket = cur.get._1
+          var runLen = 0L
           buf.clear()
           while (cur.isDefined && cur.get._1 == bucket) {
+            runLen += 1
             if (buf.length <= cap) buf += cur.get._2
             cur = if (it.hasNext) Some(it.next()) else None
           }
+          if (runLen > cap) onDrop(runLen)
           if (buf.length > 1 && buf.length <= cap) {
             val ids = buf.toArray[Any]
             pending = for {

@@ -190,7 +190,8 @@ object NearDup {
    * discards or, at worst, merges exactly as the hash-node cluster graph
    * would — the documented trade of the 64-bit node id space.
    */
-  def candidateIdPairs(banded: DataFrame, cfg: DedupConfig): DataFrame = {
+  def candidateIdPairs(banded: DataFrame, cfg: DedupConfig,
+                       onDrop: Long => Unit = _ => ()): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
     val cap = cfg.maxBucketSize
@@ -198,7 +199,7 @@ object NearDup {
       .repartition(col("band_hash"))
       .sortWithinPartitions("band_hash", "id")
       .select(col("band_hash"), col("id")).as[(Long, Long)]
-      .mapPartitions(it => graft.functions.BucketScan.pairs(it, cap))
+      .mapPartitions(it => graft.functions.BucketScan.pairs(it, cap, onDrop))
       .toDF("a_id", "b_id")
       .distinct()
   }

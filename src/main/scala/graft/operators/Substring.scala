@@ -115,7 +115,8 @@ object Substring {
    * (quadratic pair blowup guard); `Int.MaxValue` disables it for
    * oracle-parity runs.
    */
-  def gramPairs(grams: DataFrame, minShared: Int, cap: Int): DataFrame = {
+  def gramPairs(grams: DataFrame, minShared: Int, cap: Int,
+                onDrop: Long => Unit = _ => ()): DataFrame = {
     val spark = grams.sparkSession
     import spark.implicits._
     // Same shape as the LSH candidate stage: ONE co-locating exchange on the
@@ -138,21 +139,21 @@ object Substring {
           .repartition(col("gram"))
           .sortWithinPartitions("gram", keyName)
           .as[(Long, Long)]
-          .mapPartitions(it => graft.functions.BucketScan.pairs(it, cap))
+          .mapPartitions(it => graft.functions.BucketScan.pairs(it, cap, onDrop))
           .toDF("a_key", "b_key")
       case (LongType, _) =>
         grams.select(col("gram"), col(keyName))
           .repartition(col("gram"))
           .sortWithinPartitions("gram", keyName)
           .as[(Long, String)]
-          .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap))
+          .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap, onDrop))
           .toDF("a_key", "b_key")
       case _ =>
         grams.select(col("gram").cast("string"), col(keyName))
           .repartition(col("gram"))
           .sortWithinPartitions("gram", keyName)
           .as[(String, String)]
-          .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap))
+          .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap, onDrop))
           .toDF("a_key", "b_key")
     }
     keyed

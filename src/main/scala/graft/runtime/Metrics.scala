@@ -28,6 +28,11 @@ class Metrics(spark: SparkSession, runId: String) extends Serializable {
   val acc: CollectionAccumulator[StageMetric] =
     spark.sparkContext.collectionAccumulator[StageMetric]("graft.metrics")
 
+  /** Driver-side metrics row (skew-drop totals, stage-level counters):
+   *  `partition_id = -1` marks it as not-a-partition. */
+  def record(stage: String, rows: Long, nanos: Long = 0L): Unit =
+    acc.add(StageMetric(runId, stage, -1, rows, nanos))
+
   def instrument(df: DataFrame, stage: String): DataFrame = {
     val a = acc
     val rid = runId

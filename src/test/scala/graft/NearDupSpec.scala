@@ -84,4 +84,22 @@ class NearDupSpec extends AnyFunSuite {
     assert(!pairs.exists(r => lic.contains(r.getString(0)) && lic.contains(r.getString(1))),
       "capped bucket members must not form candidate pairs")
   }
+
+  test("in-stream drop accounting: onDrop fires once per capped run with its length") {
+    import graft.functions.BucketScan
+    // runs: bucket 1 → 2 ids (emit), bucket 2 → 4 ids (cap 3: drop, len 4),
+    // bucket 3 → 1 id (no pair, no drop), bucket 4 → 5 ids (drop, len 5)
+    val rows = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L),
+      (3L, 30L), (4L, 40L), (4L, 41L), (4L, 42L), (4L, 43L), (4L, 44L))
+    val drops = scala.collection.mutable.ArrayBuffer[Long]()
+    val pairs = BucketScan.pairs(rows.iterator, cap = 3, n => drops += n).toList
+    assert(pairs === List((10L, 11L)))
+    assert(drops.sorted.toList === List(4L, 5L))
+    // keyed variant, same semantics
+    val dropsK = scala.collection.mutable.ArrayBuffer[Long]()
+    val pairsK = BucketScan.pairsKeyed[Long, String](
+      rows.iterator.map { case (b, k) => (b, s"k$k") }, cap = 3, n => dropsK += n).toList
+    assert(pairsK === List(("k10", "k11")))
+    assert(dropsK.sorted.toList === List(4L, 5L))
+  }
 }
