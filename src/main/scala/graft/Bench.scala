@@ -284,7 +284,10 @@ object Bench {
          |Local mode additionally shares ONE memory system across both arms,
          |where a real 4N cluster brings 4x L3/DRAM alongside 4x cores — the
          |local measurement structurally understates cluster scaling for
-         |every cache/bandwidth-bound stage.
+         |every cache/bandwidth-bound stage. Event-log profile + the fix list
+         |behind these numbers: BENCH/PROFILE_r02.md (clean-weather task-time
+         |inflation 4→16 threads measured at 1.34x — the shared-memory bound
+         |that caps any 4→16 job efficiency near 0.75·utilization here).
          |
          |${sections.map(_._1).mkString("\n")}""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
