@@ -82,6 +82,11 @@ case class DedupConfig(
      *  above it, the shuffle-hash semi-join runs instead — at 10⁹ rows the
      *  key set no longer fits an executor broadcast budget. */
     repBroadcastMaxRows: Long = 2000000L,
+    /** Candidate-pair count at or under which the verify passes broadcast
+     *  the pair-member key set for the semi-filter (2·pairs ids). Above it
+     *  the semi-join falls back to a shuffle — at 10⁹-scale candidate
+     *  volumes the member set is itself shuffle-sized. */
+    verifyKeyBroadcastMaxPairs: Long = 5000000L,
     quick: Boolean = false,
     seed: Long = 42L) {
   require(minhashK == bands * rowsPerBand, "minhashK must equal bands*rowsPerBand")

@@ -246,7 +246,10 @@ object NearDup {
     // (bucket-capped upstream) and broadcasts.
     val keys = cand.select(col("a_key").as("rkey"))
       .union(cand.select(col("b_key").as("rkey"))).distinct()
-    val sh = sh0.join(broadcast(keys), Seq("rkey"), "left_semi")
+    // Same broadcast-vs-shuffle gate as verifyCandidatesById.
+    val keysH = if (cand.count() <= cfg.verifyKeyBroadcastMaxPairs) broadcast(keys)
+    else keys.hint("SHUFFLE_HASH")
+    val sh = sh0.join(keysH, Seq("rkey"), "left_semi")
     // SHUFFLE_HASH: sort-merge would SORT the wide shingle-array rows on a
     // string key twice; hashing the (bounded, per-partition) build side is
     // strictly cheaper here and stays skew-safe under AQE.
@@ -270,7 +273,13 @@ object NearDup {
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = cand.select(col("a_id").as("id"))
       .union(cand.select(col("b_id").as("id"))).distinct()
-    val sh = sh0.join(broadcast(keys), Seq("id"), "left_semi")
+    // Member-key semi-filter: broadcast while the candidate volume fits the
+    // budget (the count is cheap — cand is persisted / a materialized stage);
+    // past it the key set is itself shuffle-sized and a shuffle-hash semi is
+    // the scale path.
+    val keysH = if (cand.count() <= cfg.verifyKeyBroadcastMaxPairs) broadcast(keys)
+    else keys.hint("SHUFFLE_HASH")
+    val sh = sh0.join(keysH, Seq("id"), "left_semi")
     val shA = sh.hint("SHUFFLE_HASH")
       .select(col("id").as("a_id"), col("shingles").as("sh_a"), col("n_shingles").as("n_a"))
     val shB = sh.hint("SHUFFLE_HASH")

@@ -230,18 +230,22 @@ object Substring {
    * (mirror of the LSH path's exact-Jaccard verify). The content fetch is a
    * pair-key join: only candidate members' content moves, not the corpus.
    */
-  def verifiedSubstringPairs(pairs0: DataFrame, corpusK: DataFrame, w: Int): DataFrame = {
-    // The candidate table is consumed twice (key-set broadcast + the verify
+  def verifiedSubstringPairs(pairs0: DataFrame, corpusK: DataFrame, w: Int,
+                             broadcastMaxPairs: Long = 5000000L): DataFrame = {
+    // The candidate table is consumed twice (key-set semi + the verify
     // join): persist it so the gram pipeline upstream executes once, not
     // twice. Candidates are small (bucket-capped upstream).
     val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Content fetch is restricted to pair MEMBERS before any join: the pair
-    // key set (≤ 2·|pairs|, bounded upstream by the bucket cap) broadcasts,
-    // so the full corpus' content never enters an exchange — only candidate
-    // members' rows leave the scan.
+    // key set (≤ 2·|pairs|, bounded upstream by the bucket cap) broadcasts
+    // while it fits the budget, so the full corpus' content never enters an
+    // exchange — only candidate members' rows leave the scan. Past the
+    // budget the semi-join shuffles (the 10⁹-scale path).
     val pk = pairs.select(col("a_key").as("rkey"))
       .union(pairs.select(col("b_key").as("rkey"))).distinct()
-    val c = corpusK.join(broadcast(pk), Seq("rkey"), "left_semi")
+    val pkH = if (pairs.count() <= broadcastMaxPairs) broadcast(pk)
+    else pk.hint("SHUFFLE_HASH")
+    val c = corpusK.join(pkH, Seq("rkey"), "left_semi")
       .select("rkey", "content")
     val ca = c.select(col("rkey").as("a_key"), col("content").as("_ca"))
     val cb = c.select(col("rkey").as("b_key"), col("content").as("_cb"))

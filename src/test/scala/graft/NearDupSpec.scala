@@ -85,6 +85,21 @@ class NearDupSpec extends AnyFunSuite {
       "capped bucket members must not form candidate pairs")
   }
 
+  test("verify key-set semi: broadcast and shuffle gate paths agree") {
+    import org.apache.spark.sql.functions._
+    val df = NearDup.dedupedByContentBroadcast(
+      ExactDedup.validRows(corpus.toDF()).withColumn("rkey", ExactDedup.rkey))
+      .select(xxhash64(col("rkey")).as("id"),
+        NearDup.shingleCol(col("content"), cfg.shingleN).as("shingles"))
+      .withColumn("n_shingles", size(col("shingles")))
+      .where(col("n_shingles") > 0)
+    val sigs = NearDup.signaturesById(df, cfg)
+    val cand = NearDup.candidateIdPairs(NearDup.bandedById(sigs, cfg), cfg)
+    def run(c: graft.model.DedupConfig) =
+      NearDup.verifyCandidatesById(cand, df, c).collect().map(_.toString).sorted.toSeq
+    assert(run(cfg) === run(cfg.copy(verifyKeyBroadcastMaxPairs = 0L)))
+  }
+
   test("in-stream drop accounting: onDrop fires once per capped run with its length") {
     import graft.functions.BucketScan
     // runs: bucket 1 → 2 ids (emit), bucket 2 → 4 ids (cap 3: drop, len 4),
