@@ -173,6 +173,12 @@ object SparkEntry {
     "q18_ann_topk" -> ((s, dir) =>
       Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5)),
 
+    // ANN scale path #2 — IVF coarse-quantizer top-5 (deterministic Lloyd
+    // cells, nprobe probing; no SQL oracle — recall vs brute force measured
+    // in SimilaritySpec).
+    "q26_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5)),
+
     // Multimodal metadata projection over binary media columns.
     "q19_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
 

@@ -8,7 +8,8 @@ import graft.functions.XXHash64
 
 /**
  * Embedding similarity search: brute-force cosine top-k as the correctness
- * baseline and a random-hyperplane LSH-bucketed ANN as the scale path.
+ * baseline and TWO scale paths — a random-hyperplane LSH-bucketed ANN and an
+ * IVF (spherical k-means inverted-file) coarse quantizer with nprobe search.
  *
  * Determinism note: the oracle-checked top-k works on embeddings *quantized*
  * to integers (`floor(x·1000)`), so dot products and norms are exact 64-bit
@@ -183,6 +184,13 @@ object Similarity {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
       .distinct()
+    rankCandidates(embeddings, cand, k)
+  }
+
+  /** Exact-cosine verification + per-query top-k over a candidate pair set —
+   *  shared tail of every ANN variant (`(vec_id, neighbor_id)` in, ranked
+   *  `(vec_id, neighbor_id, rank, cosq)` out). */
+  private def rankCandidates(embeddings: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val q = quantized(embeddings).select("vec_id", "q", "ss")
     val a = q.select(col("vec_id"), col("q").as("qa"), col("ss").as("ssa"))
     val b = q.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("ss").as("ssb"))
@@ -194,5 +202,130 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("vec_id", "neighbor_id", "rank", "cosq")
+  }
+
+  // ---------------------------------------------------------------- IVF ----
+
+  /**
+   * IVF (inverted-file) coarse quantizer — the second ANN scale path,
+   * complementary to the hyperplane-LSH index: Lloyd k-means cells with a
+   * fixed iteration count and zero RNG state. Initial centroids are the
+   * `cells` vectors with the smallest `xxhash64(vec_id)` (deterministic,
+   * data-independent of insertion order); assignment ties break on the lower
+   * cell index.
+   *
+   * Scale shape: centroids are tiny (`cells · d` doubles) and ride into the
+   * assignment UDF as a broadcast-sized literal — the assignment pass is
+   * map-only. The centroid update explodes `(cell, pos, component)` and
+   * aggregates `avg` per `(cell, pos)`: the explode is in-stage (no
+   * shuffle); partial aggregation means the exchange carries only
+   * `partitions · cells · d` partial sums, NOT `n · d` rows. Each Lloyd
+   * round is therefore one map + one narrow shuffle at any corpus size.
+   */
+  private def normalize(v: Seq[Float]): Array[Double] = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = if (n > 0) v(i) / n else 0.0; i += 1 }
+    out
+  }
+
+  /** Spherical k-means (the metric is cosine, so cells live on the unit
+   *  sphere: members and centroids are L2-normalized each round). */
+  def ivfCentroids(embeddings: DataFrame, cells: Int = 32, iters: Int = 3): Array[Array[Double]] = {
+    def renorm(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n > 0) a.map(_ / n) else a
+    }
+    val normUdf = udf((v: Seq[Float]) => normalize(v))
+    val normed = embeddings.select(col("vec_id"), normUdf(col("embedding")).as("nv"))
+    var centroids: Array[Array[Double]] =
+      normed.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(cells)
+        .collect()
+        .map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = normed.select(
+        assignCellUdf(centroids)(col("nv")).as("cell"), col("nv"))
+      val upd = assigned
+        .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "component")))
+        .groupBy("cell", "pos").agg(avg(col("component")).as("c"))
+        .collect()
+      val next = centroids.map(_.clone())
+      upd.foreach(r => next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("c"))
+      centroids = next.map(renorm) // cells that lost all members keep their position
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment on the unit sphere (squared L2 of the
+   *  normalized vector ⇔ cosine order; ties → lower cell index). */
+  private def assignCellUdf(centroids: Array[Array[Double]]) =
+    udf((v: Seq[Double]) => {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ctr = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length && i < v.length) {
+          val x = v(i) - ctr(i); d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+
+  /** `nprobe` nearest cells per vector (query-side probe list). */
+  private def probeCellsUdf(centroids: Array[Array[Double]], nprobe: Int) =
+    udf((v: Seq[Double]) => {
+      val ds = centroids.indices.map { c =>
+        val ctr = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length && i < v.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+        (d, c)
+      }
+      ds.sorted.take(nprobe).map(_._2).toArray
+    })
+
+  /** `(vec_id, cell)` IVF index table. */
+  def ivfIndex(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val normUdf = udf((v: Seq[Float]) => normalize(v))
+    embeddings.select(col("vec_id"),
+      assignCellUdf(centroids)(normUdf(col("embedding"))).as("cell"))
+  }
+
+  /**
+   * IVF ANN top-k: candidates are vectors in the query's `nprobe` nearest
+   * cells (skew-capped like every bucket join here — an over-cap cell is
+   * dropped from candidate generation and reported via the returned hot-cell
+   * rule of [[annHotBuckets]]-style accounting), verified with exact
+   * quantized cosine, ranked per query. Recall vs [[bruteForceTopK]] is
+   * measured in SimilaritySpec.
+   */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, cells: Int = 32, iters: Int = 3,
+              nprobe: Int = 16, maxCellSize: Int = 65536): DataFrame = {
+    val centroids = ivfCentroids(embeddings, cells, iters)
+    val idx = ivfIndex(embeddings, centroids)
+    val hot = broadcast(idx.groupBy("cell").count()
+      .where(col("count") > maxCellSize).select("cell"))
+    val idxOk = idx.join(hot, Seq("cell"), "left_anti").repartition(col("cell"))
+    val normUdf = udf((v: Seq[Float]) => normalize(v))
+    val probes = embeddings.select(col("vec_id"),
+        explode(probeCellsUdf(centroids, nprobe)(normUdf(col("embedding")))).as("cell"))
+      .join(hot, Seq("cell"), "left_anti")
+    val cand = probes.as("a").join(idxOk.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    rankCandidates(embeddings, cand, k)
   }
 }
