@@ -179,6 +179,14 @@ object SparkEntry {
     "q26_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5)),
 
+    // Streaming stateful dedup core (flatMapGroupsWithState) run in batch
+    // mode over the static corpus: keeper election per content group,
+    // singletons included (a stream cannot know a group stays size-1).
+    // The same code path's micro-batch/incremental behavior is proven in
+    // DedupStreamSpec; here its one-batch output is DuckDB-oracled.
+    "q27_stream_dedup" -> ((s, dir) =>
+      graft.streaming.DedupStream.dedupActions(Corpus.fromDocuments(s, dir)).toDF()),
+
     // Multimodal metadata projection over binary media columns.
     "q19_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
 
@@ -415,6 +423,15 @@ offs13 AS (
 wins13 AS (SELECT DISTINCT rkey, substr(content, i, 48) AS w FROM offs13)
 SELECT DISTINCT a.rkey AS a_key, b.rkey AS b_key
 FROM wins13 a JOIN wins13 b ON a.w = b.w AND a.rkey < b.rkey""",
+
+      "q27_stream_dedup" ->
+        s"""$H
+SELECT group_id, rkey, size,
+  CASE WHEN rkey = min(rkey) OVER (PARTITION BY group_id) THEN 'keep'
+       ELSE 'symlink' END AS action,
+  CASE WHEN rkey = min(rkey) OVER (PARTITION BY group_id) THEN NULL
+       ELSE min(rkey) OVER (PARTITION BY group_id) END AS symlink_source
+FROM hashed""",
 
       "q08_simhash_pairs" ->
         s"""$H,

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/**
+ * Streaming incremental exact-dedup — the reference's `find` re-expressed
+ * over an unbounded file stream (the reference's own incremental story is
+ * "re-run find", README.md:339-368; this is the Spark-native continuous
+ * form): as file rows arrive, each distinct content (sha256 group) elects a
+ * keeper on first sight and every later arrival of the same content is
+ * emitted immediately as a `symlink` action against that keeper.
+ *
+ * Custom state via `flatMapGroupsWithState` (KeyValueGroupedDataset): state
+ * per content hash = the keeper key. Within one micro-batch the keeper is
+ * the minimum row key of the batch's members — so a single-batch run over a
+ * static directory reproduces the batch snapshot's keeper election exactly
+ * (DedupStreamSpec asserts set equality with `ExactDedup.snapshot`); across
+ * batches the first-elected keeper is sticky, which is the only causally
+ * possible semantics on a stream (actions already emitted are immutable).
+ *
+ * Scale notes: state size is O(distinct contents) × ~100 bytes — at corpus
+ * scale this wants the RocksDB state store (config, not code) and/or a
+ * retention timeout evicting contents not seen for N days
+ * (`GroupStateTimeout.ProcessingTimeTimeout` — a re-arrival after eviction
+ * re-elects a keeper, weakening dedup, never corrupting it). The shuffle
+ * per micro-batch carries `(cid, rkey, size)` — content itself never leaves
+ * the scan stage, mirroring the batch pipeline's rule.
+ */
+object DedupStream {
+
+  /** One emitted action row (streaming analog of a snapshot row; singleton
+   *  groups DO emit their keep — a stream cannot know a group will stay
+   *  size-1, so downstream consumers filter on group size if they only want
+   *  duplicate groups). */
+  case class StreamAction(
+      group_id: String,
+      rkey: String,
+      size: Long,
+      action: String,
+      symlink_source: Option[String])
+
+  // public: Spark's generated encoders/deserializers must reach these
+  case class Member(cid: String, rkey: String, size: Long)
+  case class KeeperState(keeper: String)
+
+  /** sha256 lowercase hex — same group ids as the batch path. */
+  private def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(64)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** The stateful core, usable on both a stream and a static Dataset. */
+  def dedupActions(files: DataFrame): Dataset[StreamAction] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val shaUdf = udf((c: String) => sha256Hex(c))
+    val members = files
+      .where(col("content").isNotNull && col("repo").isNotNull && col("path").isNotNull)
+      .select(shaUdf(col("content")).as("cid"),
+        concat(col("repo"), lit("/"), col("path")).as("rkey"),
+        length(col("content")).cast("long").as("size"))
+      .as[Member]
+    members
+      .groupByKey(_.cid)
+      .flatMapGroupsWithState[KeeperState, StreamAction](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cid: String, rows: Iterator[Member], state: GroupState[KeeperState]) =>
+          val batch = rows.toSeq.sortBy(_.rkey)
+          if (batch.isEmpty) Iterator.empty
+          else state.getOption match {
+            case Some(KeeperState(keeper)) =>
+              // keeper already elected in an earlier batch: every arrival is
+              // a duplicate of known content
+              batch.iterator.map(m =>
+                StreamAction(cid, m.rkey, m.size, "symlink", Some(keeper)))
+            case None =>
+              val keeper = batch.head.rkey // min rkey of this batch
+              state.update(KeeperState(keeper))
+              batch.iterator.map(m =>
+                if (m.rkey == keeper) StreamAction(cid, m.rkey, m.size, "keep", None)
+                else StreamAction(cid, m.rkey, m.size, "symlink", Some(keeper)))
+          }
+      }
+  }
+
+  /** Open a file-source stream of corpus rows over a parquet directory. */
+  def readFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("commit", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType))))
+      .parquet(dir)
+
+  /** One AvailableNow micro-batch run into a durable parquet sink (the
+   *  memory sink cannot recover a checkpoint). Re-running with the same
+   *  checkpoint after new files land processes ONLY the new files against
+   *  the retained keeper state — the incremental dedup story. */
+  def runAvailableNow(spark: SparkSession, dir: String, outDir: String,
+                      checkpointDir: String): Unit = {
+    val q = dedupActions(readFiles(spark, dir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
