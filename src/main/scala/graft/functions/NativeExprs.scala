@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the two hottest per-row projections —
+ * shingle hashing and rolling-window fingerprinting. Each implements
+ * `doGenCode`, so the projection stays INSIDE whole-stage codegen: no
+ * ScalaUDF encoder boundary, no closure dispatch, one generated-Java call
+ * into the same static functions the (retained, oracle-path) UDFs use —
+ * bit-identical outputs by construction (NativeExprSpec asserts parity and
+ * the codegen'd plan shape).
+ *
+ * Registration: [[GraftExtensions]] injects them as SQL functions
+ * (`graft_shingles`, `graft_rolling_fp`) via SparkSessionExtensions
+ * (`spark.sql.extensions=graft.functions.GraftExtensions`); running
+ * sessions can call [[GraftFunctions.register]] instead.
+ */
+object NativeExprs {
+
+  /** `graft_shingles(content, n)` → array<long> of distinct sorted n-gram
+   *  token-shingle hashes ([[Shingles.shingleHashes]]). */
+  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingles"
+    override def nullSafeEval(input: Any): Any =
+      UnsafeArrayData.fromPrimitiveArray(
+        Shingles.shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+           |  graft.functions.Shingles.shingleHashes($c.toString(), $n));""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+      copy(child = newChild)
+  }
+
+  /** `graft_rolling_fp(content, w, mask)` → array<long> of sampled
+   *  Rabin-Karp window fingerprints ([[graft.operators.Substring.rollingFingerprints]]). */
+  case class RollingFingerprintsExpr(child: Expression, w: Int, mask: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_rolling_fp"
+    override def nullSafeEval(input: Any): Any =
+      UnsafeArrayData.fromPrimitiveArray(
+        graft.operators.Substring.rollingFingerprints(
+          input.asInstanceOf[UTF8String].toString, w, mask))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+           |  graft.operators.Substring.rollingFingerprints($c.toString(), $w, ${mask}L));""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): RollingFingerprintsExpr =
+      copy(child = newChild)
+  }
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$what: unexpected $other")
+    }
+  }
+
+  private def litLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"$what: unexpected $other")
+    }
+  }
+
+  val shinglesBuilder: Seq[Expression] => Expression = {
+    case Seq(content, n) => ShingleHashesExpr(content, litInt(n, "n"))
+    case args => throw new IllegalArgumentException(
+      s"graft_shingles(content, n) expects 2 args, got ${args.length}")
+  }
+
+  val rollingBuilder: Seq[Expression] => Expression = {
+    case Seq(content, w, mask) =>
+      RollingFingerprintsExpr(content, litInt(w, "w"), litLong(mask, "mask"))
+    case args => throw new IllegalArgumentException(
+      s"graft_rolling_fp(content, w, mask) expects 3 args, got ${args.length}")
+  }
+
+  /** Column helpers for DataFrame code (same expressions, no SQL needed). */
+  def shingleHashes(content: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ShingleHashesExpr(org.apache.spark.sql.GraftColumnBridge.expression(content), n))
+
+  def rollingFingerprints(content: Column, w: Int, mask: Long): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      RollingFingerprintsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(content), w, mask))
+}
+
+/** Runtime registration on a live session (tests, notebooks). */
+object GraftFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[NativeExprs.ShingleHashesExpr].getName, "graft_shingles"),
+      NativeExprs.shinglesBuilder)
+    reg.registerFunction(
+      FunctionIdentifier("graft_rolling_fp"),
+      new ExpressionInfo(classOf[NativeExprs.RollingFingerprintsExpr].getName, "graft_rolling_fp"),
+      NativeExprs.rollingBuilder)
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — injects the
+ *  native functions at session build time (the deployment path). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[NativeExprs.ShingleHashesExpr].getName, "graft_shingles"),
+      NativeExprs.shinglesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_fp"),
+      new ExpressionInfo(classOf[NativeExprs.RollingFingerprintsExpr].getName, "graft_rolling_fp"),
+      NativeExprs.rollingBuilder))
+  }
+}

@@ -94,8 +94,12 @@ object NearDup {
       .select("rkey", "payload")
 
   /** Shingle-hash projection as a column (public so the pipeline can fuse it
-   *  with other per-row projections into ONE dedup pass). */
-  def shingleCol(content: Column, n: Int): Column = shingleUdf(content, lit(n))
+   *  with other per-row projections into ONE dedup pass). Backed by the
+   *  native codegen expression — same static function as [[shingleUdf]]
+   *  (bit-identical), but it stays inside whole-stage codegen with no UDF
+   *  encoder boundary. */
+  def shingleCol(content: Column, n: Int): Column =
+    graft.functions.NativeExprs.shingleHashes(content, n)
 
   private val shingleUdf =
     udf((content: String, n: Int) => Shingles.shingleHashes(content, n))

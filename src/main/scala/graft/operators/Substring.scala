@@ -79,9 +79,11 @@ object Substring {
   private val rollingUdf = udf((c: String, w: Int, m: Long) => rollingFingerprints(c, w, m))
 
   /** Rolling-fingerprint projection as a column (public so the pipeline can
-   *  fuse it with other per-row projections into ONE dedup pass). */
+   *  fuse it with other per-row projections into ONE dedup pass). Backed by
+   *  the native codegen expression — same static function as [[rollingUdf]]
+   *  (bit-identical), no UDF encoder boundary. */
   def rollingCol(content: Column, w: Int, sampleMask: Long): Column =
-    rollingUdf(content, lit(w), lit(sampleMask))
+    graft.functions.NativeExprs.rollingFingerprints(content, w, sampleMask)
 
   /** `(rkey, gram)` — exploded sampled md5 grams (oracle-parity sampler). */
   def sampledGramTable(corpus: DataFrame, w: Int): DataFrame =

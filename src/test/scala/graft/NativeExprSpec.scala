@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Corpus
+import graft.functions.{GraftFunctions, NativeExprs, Shingles}
+import graft.operators.Substring
+
+/** Native codegen expressions: bit parity with the UDF path, SQL-function
+ *  registration, and the plan staying inside whole-stage codegen with no
+ *  ScalaUDF boundary. */
+class NativeExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private lazy val corpus = Corpus.synthetic(spark, 200, seed = 17L).toDF()
+
+  test("graft_shingles / graft_rolling_fp match the UDF path bit-for-bit") {
+    val shingleUdf = udf((c: String) => Shingles.shingleHashes(c, 5))
+    val rollUdf = udf((c: String) => Substring.rollingFingerprints(c, 48, 63L))
+    val both = corpus.select(
+      NativeExprs.shingleHashes(col("content"), 5).as("sn"),
+      shingleUdf(col("content")).as("su"),
+      NativeExprs.rollingFingerprints(col("content"), 48, 63L).as("rn"),
+      rollUdf(col("content")).as("ru"))
+    val bad = both.where(col("sn") =!= col("su") || col("rn") =!= col("ru")).count()
+    assert(bad === 0L)
+    assert(both.count() >= 200L) // synthetic(200) plants extra duplicate rows
+  }
+
+  test("registered SQL functions evaluate (session registry + extensions builder)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_shingles('a b c d e f g', 5) AS s, graft_rolling_fp('" +
+        ("x" * 60) + "', 48, 0) AS f").collect().head
+    assert(r.getSeq[Long](0) === Shingles.shingleHashes("a b c d e f g", 5).toSeq)
+    assert(r.getSeq[Long](1) === Substring.rollingFingerprints("x" * 60, 48, 0L).toSeq)
+    // the extensions class wires the same builders
+    val ext = new graft.functions.GraftExtensions
+    assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+
+  test("projection stays inside whole-stage codegen — no UDF boundary in the plan") {
+    val df = corpus.select(
+      NativeExprs.shingleHashes(col("content"), 5).as("s"),
+      NativeExprs.rollingFingerprints(col("content"), 48, 63L).as("f"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"UDF boundary leaked into:\n$plan")
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l => l.trim.matches("""\*\(\d+\) Project \[graft_shingles.*""")),
+      s"projection not inside a codegen stage:\n$plan")
+    // and codegen actually compiles (evaluation succeeds, non-degenerate)
+    assert(df.where(size(col("s")) > 0).count() > 0)
+  }
+}
