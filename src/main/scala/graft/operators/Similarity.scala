@@ -52,7 +52,12 @@ object Similarity {
   /**
    * Brute-force cosine top-k over the quantized metric:
    * `(vec_id, neighbor_id, rank, cosq)`. The self-join is a cartesian
-   * product — the *baseline*; use [[annTopK]] beyond probe-set scale.
+   * product — the *baseline*; use [[annTopK]]/[[ivfTopK]] beyond probe-set
+   * scale. Ranking uses the bounded [[graft.functions.TopKAgg]] aggregator
+   * (k-sized state, map-side combine) instead of a `row_number` window: the
+   * window would sort-shuffle ALL n² candidate rows, the aggregator's
+   * exchange carries n·k — same rows out (identical comparator, spec- and
+   * oracle-checked), bounded memory.
    */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val q = quantized(embeddings).select("vec_id", "q", "ss")
@@ -60,12 +65,13 @@ object Similarity {
     val b = q.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("ss").as("ssb"))
     val cosq = dotQ(col("qa"), col("qb")).cast("double") /
       (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double")))
-    val w = Window.partitionBy("vec_id").orderBy(col("cosq").desc, col("neighbor_id"))
     a.join(b, col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosq", cosq)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("vec_id", "neighbor_id", "rank", "cosq")
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKAgg.topK(k, col("neighbor_id"), col("cosq")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("vec_id"), col("e._2").as("neighbor_id"),
+        (col("i") + 1).cast("long").as("rank"), col("e._1").as("cosq"))
   }
 
   /**
