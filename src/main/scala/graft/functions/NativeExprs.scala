@@ -58,6 +58,30 @@ object NativeExprs {
       copy(child = newChild)
   }
 
+  /** `graft_dotl(a, b)` → Long dot product of two `array<long>` columns —
+   *  one primitive loop. Replaces `aggregate(zip_with(a, b, _*_), 0, _+_)`
+   *  in the similarity hot paths: Spark evaluates higher-order functions
+   *  per element through interpreted lambdas, which dominates the n²
+   *  cosine baselines; this is a single generated-Java call. */
+  case class LongDotExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_dotl"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorOps.dotLong(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotLong($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): LongDotExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def longDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      LongDotExpr(org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   private def litInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
     e.eval(null) match {

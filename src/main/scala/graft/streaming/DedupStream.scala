@@ -26,7 +26,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * (`GroupStateTimeout.ProcessingTimeTimeout` — a re-arrival after eviction
  * re-elects a keeper, weakening dedup, never corrupting it). The shuffle
  * per micro-batch carries `(cid, rkey, size)` — content itself never leaves
- * the scan stage, mirroring the batch pipeline's rule.
+ * the scan stage, mirroring the batch pipeline's rule. One bound to watch:
+ * the keeper election buffers a group's CURRENT-BATCH members in the
+ * executor (the sortBy below); a mega-group arriving in one batch (10⁶
+ * empty files) buffers 10⁶ small tuples in that task — cap micro-batch
+ * size (`maxFilesPerTrigger`) if the ingest can spike that way.
  */
 object DedupStream {
 
