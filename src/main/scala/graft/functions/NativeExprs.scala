@@ -82,6 +82,28 @@ object NativeExprs {
       LongDotExpr(org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
+  /** `graft_intersect_n(a, b)` → Long merge-intersection count of two
+   *  distinct-sorted `array<long>` columns (the exact-Jaccard verify
+   *  kernel; same pattern as [[LongDotExpr]]). */
+  case class LongIntersectExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_intersect_n"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorOps.intersectLong(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.intersectLong($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): LongIntersectExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def longIntersect(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      LongIntersectExpr(org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   private def litInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
     e.eval(null) match {

@@ -262,7 +262,7 @@ object NearDup {
     val shB = sh.hint("SHUFFLE_HASH")
       .select(col("rkey").as("b_key"), col("shingles").as("sh_b"), col("n_shingles").as("n_b"))
     cand.join(shA, "a_key").join(shB, "b_key")
-      .withColumn("n_intersect", jaccardCountUdf(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("n_intersect", graft.functions.NativeExprs.longIntersect(col("sh_a"), col("sh_b")))
       .withColumn("n_union", (col("n_a") + col("n_b") - col("n_intersect")).cast("long"))
       .withColumn("jaccard", col("n_intersect").cast("double") / col("n_union"))
       .where(col("jaccard") >= cfg.jaccardThreshold)
@@ -289,7 +289,7 @@ object NearDup {
     val shB = sh.hint("SHUFFLE_HASH")
       .select(col("id").as("b_id"), col("shingles").as("sh_b"), col("n_shingles").as("n_b"))
     cand.join(shA, "a_id").join(shB, "b_id")
-      .withColumn("n_intersect", jaccardCountUdf(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("n_intersect", graft.functions.NativeExprs.longIntersect(col("sh_a"), col("sh_b")))
       .withColumn("n_union", (col("n_a") + col("n_b") - col("n_intersect")).cast("long"))
       .withColumn("jaccard", col("n_intersect").cast("double") / col("n_union"))
       .where(col("jaccard") >= cfg.jaccardThreshold)
