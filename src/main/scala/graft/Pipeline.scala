@@ -121,6 +121,9 @@ object Pipeline {
       // a gram coincidence or hash collision must not merge clusters. The
       // verify pass fetches content for candidate members straight from the
       // scan (semi-join on the bounded pair-id set), keyed by node id.
+      // Measured dead end: splitting gramPairs into its own parquet stage
+      // (near-branch symmetry) ran ~2-4 s SLOWER at 16 threads — the
+      // write+read barrier exceeds the persist-subtree overhead it removes.
       val dropsG = ctx.spark.sparkContext.longAccumulator("graft.substring.dropped_grams")
       val out = ctx.stage("substring_pairs") {
         Substring.verifiedSubstringPairs(
