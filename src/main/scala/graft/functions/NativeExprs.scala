@@ -104,6 +104,28 @@ object NativeExprs {
       LongIntersectExpr(org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
+  /** `graft_minhash(shingles, k)` → k-element MinHash signature
+   *  ([[Shingles.minhashSignature]] behind a generated call — the signature
+   *  stage's whole CPU body with no UDF conversion at the boundary). */
+  case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash"
+    override def nullSafeEval(input: Any): Any =
+      UnsafeArrayData.fromPrimitiveArray(
+        Shingles.minhashSignature(
+          input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(), k))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+           |  graft.functions.Shingles.minhashSignature($c.toLongArray(), $k));""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+      copy(child = newChild)
+  }
+
+  def minhash(shingles: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MinHashExpr(org.apache.spark.sql.GraftColumnBridge.expression(shingles), k))
+
   private def litInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
     e.eval(null) match {

@@ -140,7 +140,7 @@ object NearDup {
   def signaturesById(shingles: DataFrame, cfg: DedupConfig): DataFrame =
     shingles.select(
       col("id"),
-      minhashUdf(col("shingles"), lit(cfg.minhashK)).as("sig"))
+      graft.functions.NativeExprs.minhash(col("shingles"), cfg.minhashK).as("sig"))
 
   /**
    * Exploded LSH buckets `(band_hash, id, rkey)` — one row per (doc, band).

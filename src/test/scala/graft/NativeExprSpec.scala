@@ -17,12 +17,16 @@ class NativeExprSpec extends AnyFunSuite {
   test("graft_shingles / graft_rolling_fp match the UDF path bit-for-bit") {
     val shingleUdf = udf((c: String) => Shingles.shingleHashes(c, 5))
     val rollUdf = udf((c: String) => Substring.rollingFingerprints(c, 48, 63L))
+    val minhashUdf = udf((sh: Array[Long]) => Shingles.minhashSignature(sh, 128))
     val both = corpus.select(
       NativeExprs.shingleHashes(col("content"), 5).as("sn"),
       shingleUdf(col("content")).as("su"),
       NativeExprs.rollingFingerprints(col("content"), 48, 63L).as("rn"),
       rollUdf(col("content")).as("ru"))
-    val bad = both.where(col("sn") =!= col("su") || col("rn") =!= col("ru")).count()
+      .withColumn("mn", NativeExprs.minhash(col("sn"), 128))
+      .withColumn("mu", minhashUdf(col("su")))
+    val bad = both.where(col("sn") =!= col("su") || col("rn") =!= col("ru") ||
+      col("mn") =!= col("mu")).count()
     assert(bad === 0L)
     assert(both.count() >= 200L) // synthetic(200) plants extra duplicate rows
   }
