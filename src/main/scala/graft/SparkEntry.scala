@@ -227,6 +227,15 @@ object SparkEntry {
     "q24_embed_dup_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
 
+    // Skew-report surface (north_rule "cap skewed buckets, report them"):
+    // grams shared by more than `cap` distinct representatives — the
+    // boilerplate blocks the substring stage drops, as a first-class
+    // oracled query over the md5 oracle-parity sampler.
+    "q28_hot_grams" -> ((s, dir) =>
+      Substring.hotGrams(
+        Substring.sampledGramTableUniq(corpusWithKey(s, dir), 48), cap = 3)
+        .select(col("gram"), col("count").as("n_docs"))),
+
     // Multimodal decode: REAL BMP/WAV bytes synthesized deterministically,
     // REAL header parse in the batched decode stage; the oracle recomputes
     // expected dimensions/durations from the generation parameters (video
@@ -432,6 +441,22 @@ SELECT group_id, rkey, size,
   CASE WHEN rkey = min(rkey) OVER (PARTITION BY group_id) THEN NULL
        ELSE min(rkey) OVER (PARTITION BY group_id) END AS symlink_source
 FROM hashed""",
+
+      "q28_hot_grams" ->
+        s"""$H,
+uniq28 AS (
+  SELECT min(rkey) AS rkey, min(content) AS content FROM hashed GROUP BY group_id
+),
+offs28 AS (
+  SELECT rkey, content, unnest(generate_series(1, length(content) - 47)) AS i
+  FROM uniq28 WHERE length(content) >= 48
+),
+grams28 AS (
+  SELECT DISTINCT rkey, md5(substr(content, i, 48)) AS gram FROM offs28
+  WHERE substr(md5(substr(content, i, 48)), 32, 1) = '0'
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+FROM grams28 GROUP BY gram HAVING count(*) > 3""",
 
       "q08_simhash_pairs" ->
         s"""$H,
