@@ -113,7 +113,10 @@ object Pipeline {
       if (dropsB.value > 0)
         System.err.println(s"[graft.skew] candidates: ${dropsB.value} hot LSH buckets " +
           s"(${dropsR.value} member rows) over cap ${cfg.maxBucketSize} — dropped, exact stage covers their identical members")
-      ctx.stage("near_pairs") { NearDup.verifyCandidatesById(candidates, shingles, cfg) }
+      ctx.stage("near_pairs") {
+        NearDup.verifyCandidatesById(candidates, shingles, cfg,
+          register = Some(ctx.registerPersist))
+      }
     }
 
     val fSubPairs = branch {
@@ -129,7 +132,8 @@ object Pipeline {
         Substring.verifiedSubstringPairs(
           Substring.gramPairs(uniq.select(col("id"), explode(col("grams")).as("gram")),
             cfg.minSharedGrams, cfg.maxBucketSize, n => dropsG.add(n)),
-          corpusK.select(xxhash64(col("rkey")).as("rkey"), col("content")), cfg.gramWidth)
+          corpusK.select(xxhash64(col("rkey")).as("rkey"), col("content")), cfg.gramWidth,
+          register = Some(ctx.registerPersist))
       }
       ctx.metrics.record("substring_pairs.dropped_gram_rows", dropsG.value)
       if (dropsG.value > 0)

@@ -171,13 +171,17 @@ object SparkEntry {
     // ANN scale path — hyperplane-LSH bucketed top-5 (no SQL oracle;
     // recall vs brute force measured in SimilaritySpec).
     "q18_ann_topk" -> ((s, dir) =>
-      Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5)),
+      Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5,
+        onDrop = (b, m) => System.err.println(
+          s"[graft.skew] ann_topk: $b hot buckets ($m member rows) over cap — dropped, reported"))),
 
     // ANN scale path #2 — IVF coarse-quantizer top-5 (deterministic Lloyd
     // cells, nprobe probing; no SQL oracle — recall vs brute force measured
     // in SimilaritySpec).
     "q26_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5)),
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5,
+        onDrop = (c, m) => System.err.println(
+          s"[graft.skew] ivf_topk: $c hot cells ($m member rows) over cap — dropped, reported"))),
 
     // Streaming stateful dedup core (flatMapGroupsWithState) run in batch
     // mode over the static corpus: keeper election per content group,

@@ -42,12 +42,25 @@ object BucketScan extends Serializable {
       def next(): (Long, Long) = { refill(); pending.next() }
     }
 
+  /** UTF-8 byte-wise (unsigned) String ordering — Spark's `UTF8String`
+   *  binary collation and DuckDB's default collation, exactly. Java's
+   *  `String.compareTo` compares UTF-16 code UNITS, which misorders
+   *  supplementary-plane characters against U+E000..U+FFFF; pass this
+   *  explicitly wherever emitted pair order must match the engines on
+   *  arbitrary (non-ASCII) row keys. */
+  val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /**
    * Generic variant carrying the row key itself (any bucket/id types) — used
    * where pair emission must be *collision-safe*: no 64-bit id indirection,
    * the emitted pair IS the pair of row keys. Id ordering must match the
-   * engine's (`Ordering[String]` = Java lexicographic = Spark/DuckDB binary
-   * collation for ASCII keys).
+   * engine's — for String keys pass [[utf8Ordering]] (binary collation on
+   * all inputs, not just ASCII).
    */
   def pairsKeyed[B, K](it: Iterator[(B, K)], cap: Int,
                        onDrop: Long => Unit = _ => ())(implicit ord: Ordering[K]): Iterator[(K, K)] =

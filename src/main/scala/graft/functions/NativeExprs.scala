@@ -157,6 +157,40 @@ object NativeExprs {
       s"graft_rolling_fp(content, w, mask) expects 3 args, got ${args.length}")
   }
 
+  val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => LongDotExpr(a, b)
+    case args => throw new IllegalArgumentException(
+      s"graft_dotl(a, b) expects 2 args, got ${args.length}")
+  }
+
+  val intersectBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => LongIntersectExpr(a, b)
+    case args => throw new IllegalArgumentException(
+      s"graft_intersect_n(a, b) expects 2 args, got ${args.length}")
+  }
+
+  val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(shingles, k) => MinHashExpr(shingles, litInt(k, "k"))
+    case args => throw new IllegalArgumentException(
+      s"graft_minhash(shingles, k) expects 2 args, got ${args.length}")
+  }
+
+  /** The complete SQL surface: one entry per native kernel. Both the
+   *  extension injector and the runtime registrar draw from this list, so
+   *  neither can drift from the other (round-2 finding: only 2 of 5 were
+   *  registered). */
+  val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingles"), shinglesBuilder),
+    (FunctionIdentifier("graft_rolling_fp"),
+      new ExpressionInfo(classOf[RollingFingerprintsExpr].getName, "graft_rolling_fp"), rollingBuilder),
+    (FunctionIdentifier("graft_dotl"),
+      new ExpressionInfo(classOf[LongDotExpr].getName, "graft_dotl"), dotBuilder),
+    (FunctionIdentifier("graft_intersect_n"),
+      new ExpressionInfo(classOf[LongIntersectExpr].getName, "graft_intersect_n"), intersectBuilder),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashExpr].getName, "graft_minhash"), minhashBuilder))
+
   /** Column helpers for DataFrame code (same expressions, no SQL needed). */
   def shingleHashes(content: Column, n: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
@@ -172,28 +206,15 @@ object NativeExprs {
 object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(classOf[NativeExprs.ShingleHashesExpr].getName, "graft_shingles"),
-      NativeExprs.shinglesBuilder)
-    reg.registerFunction(
-      FunctionIdentifier("graft_rolling_fp"),
-      new ExpressionInfo(classOf[NativeExprs.RollingFingerprintsExpr].getName, "graft_rolling_fp"),
-      NativeExprs.rollingBuilder)
+    NativeExprs.sqlFunctions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
   }
 }
 
-/** `spark.sql.extensions=graft.functions.GraftExtensions` — injects the
- *  native functions at session build time (the deployment path). */
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — injects every
+ *  native function at session build time (the deployment path). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(classOf[NativeExprs.ShingleHashesExpr].getName, "graft_shingles"),
-      NativeExprs.shinglesBuilder))
-    ext.injectFunction((
-      FunctionIdentifier("graft_rolling_fp"),
-      new ExpressionInfo(classOf[NativeExprs.RollingFingerprintsExpr].getName, "graft_rolling_fp"),
-      NativeExprs.rollingBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    NativeExprs.sqlFunctions.foreach(ext.injectFunction(_))
 }

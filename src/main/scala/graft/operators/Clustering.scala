@@ -114,9 +114,17 @@ object Clustering {
    * amortized by real data volume.
    */
   def connectedComponents(edges: DataFrame, maxIterations: Int = 50,
-                          reliable: Boolean = false,
+                          forceReliable: Boolean = false,
                           localFinishEdges: Long = DefaultLocalFinishEdges): DataFrame = {
     val spark = edges.sparkSession
+    // Reliable (FS-backed) checkpoints auto-engage whenever a checkpoint dir
+    // is configured — RunContext always sets one, so pipeline runs get them
+    // by default. localCheckpoint stores blocks on EXECUTORS with truncated
+    // lineage: on a real cluster an executor loss mid-iteration would fail
+    // the job unrecoverably, which is exactly what north_rule's resumability
+    // clause exists to prevent. Sessions without a checkpoint dir (ad-hoc
+    // notebook use) keep the cheap local variant.
+    val reliable = forceReliable || spark.sparkContext.getCheckpointDir.isDefined
     val cur0 = edges
       .select(col(edges.columns(0)).cast("long").as("src"), col(edges.columns(1)).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))

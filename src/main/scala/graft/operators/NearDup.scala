@@ -222,27 +222,53 @@ object NearDup {
    * Verified near-dup pairs: exact Jaccard over the shingle sets, keeping
    * pairs at or above `cfg.jaccardThreshold`. Output:
    * `(a_key, b_key, n_intersect, n_union, jaccard)`.
+   *
+   * Persist scoping (round-2 leak fix): with `register = None` (the default,
+   * ad-hoc/oracle use) the internal persists are SCOPED — the result is
+   * materialized eagerly (localCheckpoint) and every cache entry released
+   * before returning, so repeated invocations in a long session leave
+   * nothing behind (PersistHygieneSpec). A caller managing its own stage
+   * lifecycle (the checkpointed pipeline, plan-inspection specs) passes
+   * `register = Some(f)`: persists are handed to `f` and the returned plan
+   * stays lazy; the caller unpersists (RunContext.cleanup()).
    */
-  def verifiedPairs(corpusK: DataFrame, cfg: DedupConfig): DataFrame = {
+  def verifiedPairs(corpusK: DataFrame, cfg: DedupConfig,
+                    register: Option[DataFrame => Unit] = None): DataFrame = {
     val sh = uniqShingleSets(corpusK, cfg)
       // Reused on three sides (signature build + two verify joins): cache at
       // test scale; at cluster scale this is the checkpointed shingles stage
       // (see graft.Pipeline, which passes materialized stages instead).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifiedPairsFrom(sh, signatures(sh, cfg), cfg)
+    register match {
+      case Some(reg) =>
+        reg(sh)
+        verifiedPairsFrom(sh, signatures(sh, cfg), cfg, register)
+      case None =>
+        try verifiedPairsFrom(sh, signatures(sh, cfg), cfg, register)
+        finally sh.unpersist(false) // result already eager (scoped verify)
+    }
   }
 
   /** [[verifiedPairs]] over pre-materialized shingle/signature stages
    *  (the checkpointed-pipeline entry point). */
-  def verifiedPairsFrom(sh: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame =
-    verifyCandidates(candidatePairs(banded(sigs, cfg), sigs, cfg), sh, cfg)
+  def verifiedPairsFrom(sh: DataFrame, sigs: DataFrame, cfg: DedupConfig,
+                        register: Option[DataFrame => Unit] = None): DataFrame =
+    verifyCandidates(candidatePairs(banded(sigs, cfg), sigs, cfg), sh, cfg, register)
 
   /** Exact-Jaccard verification of a (possibly checkpointed) candidate-pair
-   *  table against the shingle sets. */
-  def verifyCandidates(cand0: DataFrame, sh0: DataFrame, cfg: DedupConfig): DataFrame = {
+   *  table against the shingle sets. Persist scoping per [[verifiedPairs]]. */
+  def verifyCandidates(cand0: DataFrame, sh0: DataFrame, cfg: DedupConfig,
+                       register: Option[DataFrame => Unit] = None): DataFrame = {
     // Consumed three times (key set + two join sides): persist so the
     // candidate subtree executes once.
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register.foreach(_(cand))
+    def body: DataFrame = verifyBody(cand, sh0, cfg)
+    if (register.isDefined) body
+    else try body.localCheckpoint() finally cand.unpersist(false)
+  }
+
+  private def verifyBody(cand: DataFrame, sh0: DataFrame, cfg: DedupConfig): DataFrame = {
     // Only candidate MEMBERS' shingle sets are needed — semi-filter the
     // (wide, array-carrying) shingle table down to the candidate key set
     // before any join, so the verify exchanges carry |members| rows, not the
@@ -272,9 +298,18 @@ object NearDup {
   /** [[verifyCandidates]] in id space: candidates are `(a_id, b_id)` from
    *  [[candidateIdPairs]], shingle sets are keyed by `id` — same exact-Jaccard
    *  math, no string key ever enters an exchange. Output
-   *  `(a_id, b_id, n_intersect, n_union, jaccard)`. */
-  def verifyCandidatesById(cand0: DataFrame, sh0: DataFrame, cfg: DedupConfig): DataFrame = {
+   *  `(a_id, b_id, n_intersect, n_union, jaccard)`. Persist scoping per
+   *  [[verifiedPairs]]. */
+  def verifyCandidatesById(cand0: DataFrame, sh0: DataFrame, cfg: DedupConfig,
+                           register: Option[DataFrame => Unit] = None): DataFrame = {
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register.foreach(_(cand))
+    def body: DataFrame = verifyByIdBody(cand, sh0, cfg)
+    if (register.isDefined) body
+    else try body.localCheckpoint() finally cand.unpersist(false)
+  }
+
+  private def verifyByIdBody(cand: DataFrame, sh0: DataFrame, cfg: DedupConfig): DataFrame = {
     val keys = cand.select(col("a_id").as("id"))
       .union(cand.select(col("b_id").as("id"))).distinct()
     // Member-key semi-filter: broadcast while the candidate volume fits the

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.XXHash64
 
@@ -169,24 +168,53 @@ object Similarity {
   def annHotBuckets(idx: DataFrame, maxBucketSize: Int): DataFrame =
     idx.groupBy("table", "bucket").count().where(col("count") > maxBucketSize)
 
+  /** Scale-aware hyperplane count: enough sign bits that the EXPECTED bucket
+   *  occupancy `n / 2^bits` sits well under the skew cap (a quarter of it),
+   *  floored at 8 (the measured-recall test configuration) and capped at 24
+   *  (16M buckets/table — beyond that probe fan-out, not bucket size, is the
+   *  binding constraint). Fixed `bits` at growing n is the round-2 `weak`
+   *  finding: every bucket exceeds the cap and recall silently collapses;
+   *  `bits ≈ log₂(n/targetBucket)` keeps occupancy — and therefore both
+   *  recall and the per-query candidate bound — stable as the corpus grows. */
+  def autoBits(n: Long, maxBucketSize: Int): Int = {
+    val target = math.max(1, maxBucketSize / 4)
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / target)) / math.log(2)).toInt
+    math.min(24, math.max(8, needed))
+  }
+
   /**
    * ANN top-k: candidates from capped bucket collisions across tables
    * (multi-probe on the query side), verified with exact quantized cosine,
    * ranked per vector. Candidates per query are bounded by
    * `tables · (bits+1) · maxBucketSize` — a hot bucket (duplicate or
    * degenerate embeddings) cannot explode the join; its members still rank
-   * via the remaining tables or, at worst, are reported via
-   * [[annHotBuckets]]. Recall is measured in SimilaritySpec against
-   * [[bruteForceTopK]] (near-uniform random vectors — hyperplane LSH's worst
-   * case; structured/clustered embeddings only do better).
+   * via the remaining tables or, at worst, are dropped AND REPORTED: the
+   * count of over-cap buckets and the member rows inside them reach
+   * `onDrop` (wired to the accumulator→metrics path by callers, exactly like
+   * the LSH/gram stages — north_rule: capped buckets are reported, never
+   * silently). `bits = 0` (the default) derives the hyperplane count from
+   * the corpus size via [[autoBits]] — at 2k test vectors that resolves to
+   * the measured-recall configuration (8); at 10⁹ vectors to ~22. Recall is
+   * measured in SimilaritySpec against [[bruteForceTopK]] (near-uniform
+   * random vectors — hyperplane LSH's worst case; structured/clustered
+   * embeddings only do better).
    */
-  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 16, bits: Int = 8,
-              maxBucketSize: Int = 4096): DataFrame = {
-    val idx = annIndex(embeddings, tables, bits)
-    val hot = broadcast(annHotBuckets(idx, maxBucketSize).select("table", "bucket"))
+  def annTopK(embeddings: DataFrame, k: Int = 5, tables: Int = 16, bits: Int = 0,
+              maxBucketSize: Int = 4096,
+              onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    val b = if (bits > 0) bits else autoBits(embeddings.count(), maxBucketSize)
+    val idx = annIndex(embeddings, tables, b)
+    val hot0 = annHotBuckets(idx, maxBucketSize)
+    // Hot-bucket accounting is an action over the (tiny: ≤ n/cap rows)
+    // over-cap set — the one place a silent drop could hide. The count runs
+    // at plan-build time; its cost is one pass over the index projection.
+    val dropStats = hot0.agg(count(lit(1)).as("buckets"),
+      coalesce(sum(col("count")), lit(0L)).as("members")).head()
+    if (dropStats.getLong(0) > 0) onDrop(dropStats.getLong(0), dropStats.getLong(1))
+    val hot = broadcast(hot0.select("table", "bucket"))
     val idxOk = idx.join(hot, Seq("table", "bucket"), "left_anti")
       .repartition(col("table"), col("bucket"))
-    val probes = annProbes(embeddings, tables, bits)
+    val probes = annProbes(embeddings, tables, b)
       .join(hot, Seq("table", "bucket"), "left_anti")
     val cand = probes.as("a").join(idxOk.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
@@ -198,19 +226,24 @@ object Similarity {
 
   /** Exact-cosine verification + per-query top-k over a candidate pair set —
    *  shared tail of every ANN variant (`(vec_id, neighbor_id)` in, ranked
-   *  `(vec_id, neighbor_id, rank, cosq)` out). */
+   *  `(vec_id, neighbor_id, rank, cosq)` out). Ranking uses the bounded
+   *  [[graft.functions.TopKAgg]] aggregator — identical comparator to the
+   *  `row_number` window it replaces (score DESC, id ASC), but the exchange
+   *  carries `queries · k` combined partials instead of sort-shuffling every
+   *  candidate row. */
   private def rankCandidates(embeddings: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val q = quantized(embeddings).select("vec_id", "q", "ss")
     val a = q.select(col("vec_id"), col("q").as("qa"), col("ss").as("ssa"))
     val b = q.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("ss").as("ssb"))
     val cosq = dotQ(col("qa"), col("qb")).cast("double") /
       (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double")))
-    val w = Window.partitionBy("vec_id").orderBy(col("cosq").desc, col("neighbor_id"))
     cand.join(a, "vec_id").join(b, "neighbor_id")
       .withColumn("cosq", cosq)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("vec_id", "neighbor_id", "rank", "cosq")
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKAgg.topK(k, col("neighbor_id"), col("cosq")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("vec_id"), col("e._2").as("neighbor_id"),
+        (col("i") + 1).cast("long").as("rank"), col("e._1").as("cosq"))
   }
 
   // ---------------------------------------------------------------- IVF ----
@@ -312,24 +345,41 @@ object Similarity {
       assignCellUdf(centroids)(normUdf(col("embedding"))).as("cell"))
   }
 
+  /** Scale-aware cell count (`cells = 0` auto): the classic IVF sizing
+   *  `cells ≈ √n` (balances assignment cost n·cells against cell occupancy
+   *  n/cells), floored at 32 — the measured-recall test configuration — and
+   *  capped at 65536 (beyond that the centroid literal stops being
+   *  broadcast-sized). `nprobe = 0` auto-scales with the cell count
+   *  (cells/32, floored at 16): a FIXED probe count over a growing cell
+   *  count silently shrinks the searched fraction — the round-2 `weak`
+   *  finding's second half. */
+  def autoCells(n: Long): Int =
+    math.min(65536, math.max(32, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   /**
    * IVF ANN top-k: candidates are vectors in the query's `nprobe` nearest
    * cells (skew-capped like every bucket join here — an over-cap cell is
-   * dropped from candidate generation and reported via the returned hot-cell
-   * rule of [[annHotBuckets]]-style accounting), verified with exact
-   * quantized cosine, ranked per query. Recall vs [[bruteForceTopK]] is
-   * measured in SimilaritySpec.
+   * dropped from candidate generation AND REPORTED through `onDrop` with
+   * (cells dropped, member rows dropped), the same accounting contract as
+   * the LSH/gram stages), verified with exact quantized cosine, ranked per
+   * query. Recall vs [[bruteForceTopK]] is measured in SimilaritySpec.
    */
-  def ivfTopK(embeddings: DataFrame, k: Int = 5, cells: Int = 32, iters: Int = 3,
-              nprobe: Int = 16, maxCellSize: Int = 65536): DataFrame = {
-    val centroids = ivfCentroids(embeddings, cells, iters)
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, cells: Int = 0, iters: Int = 3,
+              nprobe: Int = 0, maxCellSize: Int = 65536,
+              onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    val nCells = if (cells > 0) cells else autoCells(embeddings.count())
+    val nProbe = math.min(nCells, if (nprobe > 0) nprobe else math.max(16, nCells / 32))
+    val centroids = ivfCentroids(embeddings, nCells, iters)
     val idx = ivfIndex(embeddings, centroids)
-    val hot = broadcast(idx.groupBy("cell").count()
-      .where(col("count") > maxCellSize).select("cell"))
+    val hot0 = idx.groupBy("cell").count().where(col("count") > maxCellSize)
+    val dropStats = hot0.agg(count(lit(1)).as("cells"),
+      coalesce(sum(col("count")), lit(0L)).as("members")).head()
+    if (dropStats.getLong(0) > 0) onDrop(dropStats.getLong(0), dropStats.getLong(1))
+    val hot = broadcast(hot0.select("cell"))
     val idxOk = idx.join(hot, Seq("cell"), "left_anti").repartition(col("cell"))
     val normUdf = udf((v: Seq[Float]) => normalize(v))
     val probes = embeddings.select(col("vec_id"),
-        explode(probeCellsUdf(centroids, nprobe)(normUdf(col("embedding")))).as("cell"))
+        explode(probeCellsUdf(centroids, nProbe)(normUdf(col("embedding")))).as("cell"))
       .join(hot, Seq("cell"), "left_anti")
     val cand = probes.as("a").join(idxOk.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))

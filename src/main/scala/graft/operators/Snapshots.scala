@@ -49,7 +49,15 @@ import org.apache.spark.sql.expressions.Window
  * violation report instead of one error. Path-normalization branches
  * (within_rootdir, relative sources) are mapped away: row keys are canonical
  * (SURVEY.md §2.2), so `verify_symlink_source_path` reduces to direct key
- * equality.
+ * equality. Two further mapped-away branches, for completeness:
+ * `validate_rootdir` (validation.rs:29-41 — rootdir exists / is a directory
+ * / metadata readable) has no table analog because there IS no rootdir: the
+ * current-state view is itself the authority, and a missing/unreadable
+ * "filesystem" is a missing input table, surfaced by the engine before any
+ * row logic runs. And the fail-fast-vs-collect-all choice above is the
+ * whole of the reference's error-propagation structure (`?` early returns
+ * throughout validation.rs) — there is no separately-mapped "abort" state;
+ * group-level exclusion is its complete analog.
  */
 object Snapshots {
 

@@ -148,14 +148,16 @@ object Substring {
           .repartition(col("gram"))
           .sortWithinPartitions("gram", keyName)
           .as[(Long, String)]
-          .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap, onDrop))
+          .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap, onDrop)(
+            graft.functions.BucketScan.utf8Ordering))
           .toDF("a_key", "b_key")
       case _ =>
         grams.select(col("gram").cast("string"), col(keyName))
           .repartition(col("gram"))
           .sortWithinPartitions("gram", keyName)
           .as[(String, String)]
-          .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap, onDrop))
+          .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap, onDrop)(
+            graft.functions.BucketScan.utf8Ordering))
           .toDF("a_key", "b_key")
     }
     keyed
@@ -182,11 +184,13 @@ object Substring {
     var pow = 1L
     var k = 1
     while (k < w) { pow *= B; k += 1 }
-    // index: rolling hash -> first position in a (collision lists are
-    // resolved by the exact compare below; storing one position per hash is
-    // enough because equal windows hash equal — a missed *extra* position
-    // only matters if two different windows collide AND the stored one
-    // mismatches; keep a small list to stay exact)
+    // index: rolling hash -> ALL positions in a with that window hash. Every
+    // position is kept — truncating a collision list could drop the one
+    // position whose window actually matches and reject a genuinely shared
+    // window, breaking the no-false-negative guarantee. Distinct windows
+    // colliding on one 64-bit hash is ~2⁻⁶⁴ per pair, so the lists are
+    // length-1 outside adversarial inputs (equal windows ARE the match);
+    // memory stays O(|a|) either way.
     val idx = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
     var h = 0L
     var i = 0
@@ -196,7 +200,7 @@ object Substring {
       val key = java.lang.Long.valueOf(h)
       var lst = idx.get(key)
       if (lst == null) { lst = new java.util.ArrayList[Integer](1); idx.put(key, lst) }
-      if (lst.size < 4) lst.add(pos) // ≥4 equal-hash windows: first 4 suffice for the compare
+      lst.add(pos)
       if (pos + w >= a.length) {
         // probe with b
         var hb = 0L
@@ -233,11 +237,23 @@ object Substring {
    * pair-key join: only candidate members' content moves, not the corpus.
    */
   def verifiedSubstringPairs(pairs0: DataFrame, corpusK: DataFrame, w: Int,
-                             broadcastMaxPairs: Long = 5000000L): DataFrame = {
+                             broadcastMaxPairs: Long = 5000000L,
+                             register: Option[DataFrame => Unit] = None): DataFrame = {
     // The candidate table is consumed twice (key-set semi + the verify
     // join): persist it so the gram pipeline upstream executes once, not
-    // twice. Candidates are small (bucket-capped upstream).
+    // twice. Candidates are small (bucket-capped upstream). Persist scoping
+    // mirrors NearDup.verifiedPairs: `register = None` (default) scopes the
+    // persist — eager result, cache released before returning; the pipeline
+    // passes its RunContext registrar and cleans up after the stage commits.
     val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    register.foreach(_(pairs))
+    def body: DataFrame = verifiedBody(pairs, corpusK, w, broadcastMaxPairs)
+    if (register.isDefined) body
+    else try body.localCheckpoint() finally pairs.unpersist(false)
+  }
+
+  private def verifiedBody(pairs: DataFrame, corpusK: DataFrame, w: Int,
+                           broadcastMaxPairs: Long): DataFrame = {
     // Content fetch is restricted to pair MEMBERS before any join: the pair
     // key set (≤ 2·|pairs|, bounded upstream by the bucket cap) broadcasts
     // while it fits the budget, so the full corpus' content never enters an

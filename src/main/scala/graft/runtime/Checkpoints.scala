@@ -75,6 +75,12 @@ class RunContext(val spark: SparkSession, val runDir: String, val runId: String)
     spark.read.parquet(path)
   }
 
+  /** Register an operator-internal persist with this run's lifecycle: it is
+   *  released by [[cleanup]] alongside the light stages (operators pass this
+   *  as their `register` hook so no persist outlives the run). */
+  def registerPersist(df: DataFrame): Unit =
+    lightStages.synchronized { lightStages += df }
+
   /** Unpersist every light stage of this run (call when the run's outputs are
    *  fully consumed — avoids cached-plan leaks in long-lived sessions). */
   def cleanup(): Unit = {

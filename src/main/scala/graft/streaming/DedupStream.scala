@@ -26,11 +26,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * (`GroupStateTimeout.ProcessingTimeTimeout` — a re-arrival after eviction
  * re-elects a keeper, weakening dedup, never corrupting it). The shuffle
  * per micro-batch carries `(cid, rkey, size)` — content itself never leaves
- * the scan stage, mirroring the batch pipeline's rule. One bound to watch:
- * the keeper election buffers a group's CURRENT-BATCH members in the
- * executor (the sortBy below); a mega-group arriving in one batch (10⁶
- * empty files) buffers 10⁶ small tuples in that task — cap micro-batch
- * size (`maxFilesPerTrigger`) if the ingest can spike that way.
+ * the scan stage, mirroring the batch pipeline's rule. Memory bounds: once a
+ * keeper exists, arrivals stream through with NO buffering; only the
+ * electing batch holds its group's members (one unsorted buffer — min-of-
+ * batch semantics needs the whole batch before the keeper is known), so the
+ * per-task bound is the micro-batch size (`maxFilesPerTrigger`), verified
+ * with a 10⁵-member single-batch group in DedupStreamSpec.
  */
 object DedupStream {
 
@@ -74,20 +75,39 @@ object DedupStream {
       .flatMapGroupsWithState[KeeperState, StreamAction](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (cid: String, rows: Iterator[Member], state: GroupState[KeeperState]) =>
-          val batch = rows.toSeq.sortBy(_.rkey)
-          if (batch.isEmpty) Iterator.empty
-          else state.getOption match {
+          state.getOption match {
             case Some(KeeperState(keeper)) =>
-              // keeper already elected in an earlier batch: every arrival is
-              // a duplicate of known content
-              batch.iterator.map(m =>
-                StreamAction(cid, m.rkey, m.size, "symlink", Some(keeper)))
-            case None =>
-              val keeper = batch.head.rkey // min rkey of this batch
-              state.update(KeeperState(keeper))
-              batch.iterator.map(m =>
+              // Keeper already elected in an earlier batch: a pure streaming
+              // map — NO buffering, a mega-group of late arrivals costs O(1)
+              // task memory. A re-arrival of the keeper row itself (file
+              // re-ingested) is a no-op `keep`, never a self-referential
+              // symlink (validate/apply would reject source==target).
+              rows.map(m =>
                 if (m.rkey == keeper) StreamAction(cid, m.rkey, m.size, "keep", None)
                 else StreamAction(cid, m.rkey, m.size, "symlink", Some(keeper)))
+            case None =>
+              // First sight of this content: keeper = min rkey of the batch
+              // (single-batch parity with the batch snapshot). Min-of-batch
+              // requires holding the batch's members until the min is known —
+              // ONE unsorted buffer, filled in the same pass that tracks the
+              // running min (the former sort was an O(n log n) + full-copy
+              // tax paid per group for an output whose row SET is
+              // order-insensitive). The buffer is bounded by the micro-batch
+              // (`maxFilesPerTrigger`), not by group size across time.
+              val buf = new scala.collection.mutable.ArrayBuffer[Member]
+              var keeper: String = null
+              rows.foreach { m =>
+                if (keeper == null || m.rkey < keeper) keeper = m.rkey
+                buf += m
+              }
+              if (buf.isEmpty) Iterator.empty
+              else {
+                state.update(KeeperState(keeper))
+                val kp = keeper
+                buf.iterator.map(m =>
+                  if (m.rkey == kp) StreamAction(cid, m.rkey, m.size, "keep", None)
+                  else StreamAction(cid, m.rkey, m.size, "symlink", Some(kp)))
+              }
           }
       }
   }

@@ -70,4 +70,45 @@ class DedupStreamSpec extends AnyFunSuite {
       assert(r.getAs[String]("symlink_source") === keeperOf(r.getAs[String]("group_id")))
     }
   }
+
+  test("10⁵-member mega-group in ONE batch: bounded buffer path completes, election exact") {
+    import spark.implicits._
+    val n = 100000
+    // one content shared by 100k paths + a couple of singletons
+    val rows = (0 until n).map(i => (f"repo$i%06d", "dup.txt", "c1", "scala", "MEGA-CONTENT")) ++
+      Seq(("zz1", "a.txt", "c1", "scala", "unique-1"), ("zz2", "b.txt", "c1", "scala", "unique-2"))
+    val df = rows.toDF("repo", "path", "commit", "lang", "content")
+    val acts = DedupStream.dedupActions(df).collect()
+    assert(acts.length === n + 2)
+    val mega = acts.filter(_.size == "MEGA-CONTENT".length)
+    assert(mega.count(_.action == "keep") === 1)
+    val keeper = mega.find(_.action == "keep").get.rkey
+    assert(keeper === "repo000000/dup.txt", "keeper must be the min rkey of the batch")
+    assert(mega.filter(_.action == "symlink").forall(_.symlink_source.contains(keeper)))
+  }
+
+  test("keeper re-arrival in a later batch emits a no-op keep, never a self-symlink") {
+    val corpus = Corpus.synthetic(spark, 120, seed = 29L).toDF()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dstream2").toString
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    DedupStream.runAvailableNow(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    val s1 = spark.read.parquet(s"$tmp/out").collect()
+    val keepers = s1.filter(_.getAs[String]("action") == "keep")
+    assert(keepers.nonEmpty)
+
+    // re-ingest the exact keeper rows (same repo/path/content → same rkey)
+    val keeperKeys = keepers.map(_.getAs[String]("rkey")).toSet
+    val again = corpus.where(
+      concat(col("repo"), lit("/"), col("path")).isin(keeperKeys.toSeq: _*))
+    assert(again.count() > 0)
+    again.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    DedupStream.runAvailableNow(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+
+    val all = spark.read.parquet(s"$tmp/out").collect()
+    // batch 2 re-emitted each re-arrived keeper as a second identical keep row
+    val reArrived = all.filter(r => keeperKeys.contains(r.getAs[String]("rkey")))
+    assert(reArrived.forall(_.getAs[String]("action") == "keep"))
+    // and NO self-referential symlink exists anywhere
+    assert(all.forall(r => r.getAs[String]("symlink_source") != r.getAs[String]("rkey")))
+  }
 }

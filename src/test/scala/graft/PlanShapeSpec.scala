@@ -51,7 +51,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("near-dup pipeline (project-then-dedup form) never shuffles content") {
-    assertNoContentInExchanges(NearDup.verifiedPairs(corpusK, cfg), "verifiedPairs")
+    // register variant: keeps the returned plan LAZY (inspectable) and hands
+    // us the persists to release — the default path is eager + self-cleaning
+    // (PersistHygieneSpec).
+    val persists = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try assertNoContentInExchanges(
+      NearDup.verifiedPairs(corpusK, cfg, register = Some(persists += _)), "verifiedPairs")
+    finally persists.foreach(_.unpersist(false))
   }
 
   test("broadcast content-dedup keeps the corpus side out of exchanges entirely") {

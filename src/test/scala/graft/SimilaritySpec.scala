@@ -69,19 +69,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run1.map(_.toString).sorted.toSeq === run2.map(_.toString).sorted.toSeq)
   }
 
-  test("IVF skew guard: an over-cap cell is dropped from candidate generation") {
+  test("IVF skew guard: an over-cap cell is dropped AND reported (cells + member rows)") {
     import org.apache.spark.sql.functions._
     val dim = 8
     // 300 identical vectors collapse into one cell
     val hot = spark.range(300).select(col("id").as("vec_id"),
       array((0 until dim).map(i => lit(0.1f * (i + 1))): _*).as("embedding"))
-    val ivf = Similarity.ivfTopK(hot, 5, cells = 4, iters = 1, nprobe = 2, maxCellSize = 10)
+    var droppedCells = 0L
+    var droppedRows = 0L
+    val ivf = Similarity.ivfTopK(hot, 5, cells = 4, iters = 1, nprobe = 2, maxCellSize = 10,
+      onDrop = (c, m) => { droppedCells += c; droppedRows += m })
     assert(ivf.count() === 0L)
+    assert(droppedCells === 1L, "the mega-cell must be counted, never silent")
+    assert(droppedRows === 300L)
   }
 
-  test("ANN skew guard: a degenerate hot bucket is capped, candidates stay bounded") {
+  test("ANN skew guard: a degenerate hot bucket is capped, candidates bounded, drops reported") {
     import org.apache.spark.sql.functions._
-    import spark.implicits._
     // 300 IDENTICAL vectors — every table has one bucket holding all of them
     val dim = 8
     val hot = spark.range(300).select(col("id").as("vec_id"),
@@ -92,9 +96,41 @@ class SimilaritySpec extends AnyFunSuite {
     val hotBuckets = Similarity.annHotBuckets(idx, maxBucketSize = 10)
     assert(hotBuckets.count() === tables.toLong, "each table's single bucket must trip the cap")
     // with every bucket over the cap, candidate generation degrades to zero
-    // pairs instead of a 300² blowup
-    val ann = Similarity.annTopK(hot, 5, tables, bits, maxBucketSize = 10)
+    // pairs instead of a 300² blowup — and every drop is reported
+    var droppedBuckets = 0L
+    var droppedRows = 0L
+    val ann = Similarity.annTopK(hot, 5, tables, bits, maxBucketSize = 10,
+      onDrop = (b, m) => { droppedBuckets += b; droppedRows += m })
     assert(ann.count() === 0L)
+    assert(droppedBuckets === tables.toLong)
+    assert(droppedRows === 300L * tables)
+  }
+
+  test("planted 10⁶-row skew: candidates stay bounded, drops land in the metrics table") {
+    import org.apache.spark.sql.functions._
+    // 10⁶ IDENTICAL vectors — the duplicate-embedding worst case at real
+    // volume: every table collapses into ONE mega bucket. Without the cap
+    // this is a 10¹²-pair self-join; with it, candidate generation must
+    // degrade to zero pairs AND report what it dropped through the same
+    // accumulator→metrics path the LSH/gram stages use.
+    val n = 1000000L
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      expr("array(cast(0.5 as float), cast(0.5 as float), cast(0.5 as float), cast(0.5 as float))")
+        .as("embedding"))
+    val metrics = new graft.runtime.Metrics(spark, "skew-spec")
+    val ann = Similarity.annTopK(base, 3, tables = 2, bits = 4, maxBucketSize = 10000,
+      onDrop = (b, m) => {
+        metrics.record("ann.dropped_buckets", b)
+        metrics.record("ann.dropped_members", m)
+      })
+    assert(ann.count() === 0L, "capped mega buckets must produce zero candidates, not a blowup")
+    val recorded = metrics.toDF().where(col("stage").startsWith("ann.dropped"))
+      .groupBy("stage").sum("rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(recorded.getOrElse("ann.dropped_buckets", 0L) === 2L,
+      s"mega buckets not reported: $recorded")
+    assert(recorded.getOrElse("ann.dropped_members", 0L) === 2L * n,
+      s"dropped member rows not reported: $recorded")
   }
 
   test("float cosine column agrees with quantized cosine to quantization error") {
