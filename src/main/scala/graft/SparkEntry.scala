@@ -240,6 +240,25 @@ object SparkEntry {
         Substring.sampledGramTableUniq(corpusWithKey(s, dir), 48), cap = 3)
         .select(col("gram"), col("count").as("n_docs"))),
 
+    // Catalog-table surface (SURVEY §7 CatalogIO; north_star "clusters
+    // materialize as an Iceberg table"): the planted current state written
+    // as catalog version 1, apply executed as a read-modify-write of the
+    // RE-LOADED canonical table into version 2 (prior version retained =
+    // the reference's backup rule as table-version retention), and the
+    // final canonical table read back through the catalog — q15/q21
+    // semantics through real `saveAsTable`/`spark.table` round-trips.
+    "q29_catalog_apply" -> ((s, dir) => {
+      val h = hashed(s, dir)
+      val base = "graft_state_" +
+        java.lang.Long.toUnsignedString(graft.functions.XXHash64.hashString(dir, 7L), 16)
+      val cat = graft.sources.ParquetCatalog
+      cat.dropAll(s, base)
+      cat.writeVersion(s, base, Snapshots.plantedState(h))
+      val v = Snapshots.validateState(Snapshots.editedSnapshot(h), cat.readCanonical(s, base))
+      cat.applyReadModifyWrite(s, base)(cur => Snapshots.appliedState(v, cur))
+      cat.readCanonical(s, base).select("rkey", "true_sha", "size", "points_to")
+    }),
+
     // Multimodal decode: REAL BMP/WAV bytes synthesized deterministically,
     // REAL header parse in the batched decode stage; the oracle recomputes
     // expected dimensions/durations from the generation parameters (video
@@ -557,6 +576,20 @@ SELECT group_id, rkey, action, points_to, n_members FROM (
     sum(CASE WHEN points_to IS NULL THEN 1 ELSE 0 END) OVER w AS nk
   FROM applied WINDOW w AS (PARTITION BY true_sha)
 ) t WHERE n_members > 1 AND nk <> 1""",
+
+      "q29_catalog_apply" ->
+        s"""$H,${duckValidatedCtes(false)},
+bad AS (SELECT DISTINCT group_id FROM validated WHERE NOT valid),
+vv AS (
+  SELECT v0.rkey, v0.action, v0.src, (b.group_id IS NOT NULL) AS bad
+  FROM validated v0 LEFT JOIN bad b ON v0.group_id = b.group_id
+)
+SELECT s.rkey, s.true_sha, CAST(s.size AS BIGINT) AS size,
+  CASE WHEN NOT (v.action IS NULL OR v.action = 'keep' OR v.bad)
+            AND v.action = 'symlink' THEN v.src
+       ELSE s.points_to END AS points_to
+FROM state s LEFT JOIN vv v ON s.rkey = v.rkey
+WHERE (v.action IS NULL OR v.action = 'keep' OR v.bad) OR v.action <> 'delete'""",
 
       "q22_dry_run" ->
         s"""$H,${duckValidatedCtes(false)},

@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Catalog-table persistence surface (SURVEY §7, north_star "clusters
+ * materialize as an Iceberg table"): snapshot/state/cluster tables written
+ * as VERSIONED catalog tables, apply = read-modify-write of the canonical
+ * table with every prior version retained — the table-version analog of the
+ * reference's backup rule (fileutil.rs:136-150 "never destroy data without
+ * a backup"; default backup location main.rs:163-169). The newest version
+ * IS the canonical table; any older version is the backup, readable and
+ * restorable at any time.
+ *
+ * Two implementations:
+ *  - [[ParquetCatalog]] — the offline stand-in (no Iceberg runtime jar in
+ *    this environment, SURVEY §7): Spark-catalog Parquet tables with
+ *    versioned names `<base>_v<N>` standing in for Iceberg snapshots.
+ *    Version discovery falls back to the warehouse DIRECTORY when catalog
+ *    metadata is gone (fresh session over the same warehouse — the
+ *    in-memory catalog does not survive a JVM restart, the files do), so
+ *    resume-across-sessions works against the same store.
+ *  - [[IcebergCatalog]] — the deployment path, written against the public
+ *    DataFrameWriterV2 / SQL time-travel API only; requires an Iceberg
+ *    catalog configured on the session (`spark.sql.catalog.<name>`).
+ *    Version retention is native Iceberg snapshots there.
+ */
+trait CatalogIO {
+
+  /** Write `df` as the next version of `base`; returns the new version
+   *  number. Prior versions are retained (backup rule). */
+  def writeVersion(spark: SparkSession, base: String, df: DataFrame): Long
+
+  /** All retained versions of `base`, ascending. */
+  def versions(spark: SparkSession, base: String): Seq[Long]
+
+  /** Read one retained version. */
+  def readVersion(spark: SparkSession, base: String, version: Long): DataFrame
+
+  /** Remove every version of `base` (test hygiene; NOT part of the apply
+   *  path — apply never destroys versions). */
+  def dropAll(spark: SparkSession, base: String): Unit
+
+  /** The canonical table = the newest version. */
+  def readCanonical(spark: SparkSession, base: String): DataFrame = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"catalog table $base has no versions")
+    readVersion(spark, base, vs.last)
+  }
+
+  /** The apply primitive: read the canonical table, transform it, write the
+   *  result as the NEXT version. The pre-image version stays readable — the
+   *  reference's take_backup-before-destructive-op invariant expressed as
+   *  table-version retention. Returns the new version number. */
+  def applyReadModifyWrite(spark: SparkSession, base: String)
+                          (modify: DataFrame => DataFrame): Long =
+    writeVersion(spark, base, modify(readCanonical(spark, base)))
+
+  /** Undo to an older version by RE-WRITING it as the newest (history stays
+   *  intact — a restore is itself a recorded version, never a rollback that
+   *  drops evidence). */
+  def restoreVersion(spark: SparkSession, base: String, version: Long): Long =
+    writeVersion(spark, base, readVersion(spark, base, version))
+}
+
+/**
+ * Offline catalog over Spark-managed Parquet tables. Table `<base>_v<N>`
+ * lives in the session catalog AND as `<warehouse>/<base>_v<N>` on disk;
+ * [[versions]] unions both views so a fresh session resumes against the
+ * files even though the in-memory catalog forgot the metadata.
+ */
+object ParquetCatalog extends CatalogIO {
+
+  private def versionRe(base: String) =
+    ("^" + java.util.regex.Pattern.quote(base.toLowerCase) + "_v(\\d+)$").r
+
+  private def tableName(base: String, v: Long) = s"${base}_v$v"
+
+  private def warehouseDir(spark: SparkSession): java.nio.file.Path = {
+    val raw = spark.conf.get("spark.sql.warehouse.dir")
+    val p = try Option(new java.net.URI(raw).getPath) catch { case _: Exception => None }
+    java.nio.file.Paths.get(p.getOrElse(raw))
+  }
+
+  private def catalogVersions(spark: SparkSession, base: String): Seq[Long] = {
+    val re = versionRe(base)
+    spark.catalog.listTables().collect().toSeq.map(_.name.toLowerCase).collect {
+      case re(v) => v.toLong
+    }
+  }
+
+  private def dirVersions(spark: SparkSession, base: String): Seq[Long] = {
+    val wh = warehouseDir(spark)
+    if (!java.nio.file.Files.isDirectory(wh)) Seq.empty
+    else {
+      val re = versionRe(base)
+      val out = Seq.newBuilder[Long]
+      java.nio.file.Files.list(wh).forEach { p =>
+        p.getFileName.toString.toLowerCase match {
+          case re(v) => out += v.toLong
+          case _ => ()
+        }
+      }
+      out.result()
+    }
+  }
+
+  override def versions(spark: SparkSession, base: String): Seq[Long] =
+    (catalogVersions(spark, base) ++ dirVersions(spark, base)).distinct.sorted
+
+  override def writeVersion(spark: SparkSession, base: String, df: DataFrame): Long = {
+    val next = versions(spark, base).lastOption.getOrElse(0L) + 1
+    df.write.mode("errorifexists").format("parquet").saveAsTable(tableName(base, next))
+    next
+  }
+
+  override def readVersion(spark: SparkSession, base: String, version: Long): DataFrame = {
+    val name = tableName(base, version)
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else {
+      // catalog metadata lost (new session) — the files are the durable
+      // truth: read them and re-register the table for subsequent readers
+      val path = warehouseDir(spark).resolve(name.toLowerCase).toString
+      require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)),
+        s"version $version of $base exists in neither catalog nor warehouse")
+      spark.catalog.createTable(name, path, "parquet")
+    }
+  }
+
+  override def dropAll(spark: SparkSession, base: String): Unit =
+    versions(spark, base).foreach { v =>
+      val name = tableName(base, v)
+      if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE IF EXISTS $name")
+      // managed-table drop removes files; external (re-registered) drops may
+      // not — clear the directory remnant either way
+      val p = warehouseDir(spark).resolve(name.toLowerCase)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.reflect.io.Directory
+        new Directory(p.toFile).deleteRecursively()
+      }
+    }
+}
+
+/**
+ * Iceberg-backed implementation (deployment): identical trait semantics on
+ * an Iceberg catalog, written against public Spark APIs only —
+ * `writeTo(...).createOrReplace()` (DataFrameWriterV2) and SQL time travel
+ * (`VERSION AS OF`). One logical table per `base`; "our" version numbers
+ * map to Iceberg snapshot ids via the `<table>.snapshots` metadata table,
+ * so prior-version retention and restore ride Iceberg's native snapshot
+ * history instead of versioned table names. Compiled but not unit-tested
+ * here: the environment ships no Iceberg runtime jar (SURVEY §7) — the
+ * trait seam is exactly where a cluster deployment swaps it in.
+ */
+class IcebergCatalog(catalog: String, namespace: String) extends CatalogIO {
+
+  private def fqn(base: String) = s"$catalog.$namespace.$base"
+
+  override def writeVersion(spark: SparkSession, base: String, df: DataFrame): Long = {
+    if (versions(spark, base).isEmpty) df.writeTo(fqn(base)).createOrReplace()
+    else df.writeTo(fqn(base)).overwritePartitions()
+    versions(spark, base).last
+  }
+
+  override def versions(spark: SparkSession, base: String): Seq[Long] =
+    try spark.sql(s"SELECT snapshot_id FROM ${fqn(base)}.snapshots ORDER BY committed_at")
+      .collect().toSeq.map(_.getLong(0))
+    catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+
+  override def readVersion(spark: SparkSession, base: String, version: Long): DataFrame =
+    spark.sql(s"SELECT * FROM ${fqn(base)} VERSION AS OF $version")
+
+  override def readCanonical(spark: SparkSession, base: String): DataFrame =
+    spark.table(fqn(base))
+
+  override def dropAll(spark: SparkSession, base: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${fqn(base)}")
+}

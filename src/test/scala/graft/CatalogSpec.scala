@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Corpus
+import graft.operators.{ExactDedup, Snapshots}
+import graft.sources.ParquetCatalog
+
+/** Catalog-table surface: versioned writes, canonical = newest, apply as
+ *  read-modify-write with prior-version retention (backup rule), restore,
+ *  and resume against warehouse files when catalog metadata is gone. */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val cat = ParquetCatalog
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("apply = RMW of the canonical table; prior version retained; restore round-trips") {
+    val base = "graft_spec_state"
+    cat.dropAll(spark, base)
+    val h = ExactDedup.withHashes(Corpus.synthetic(spark, 200, seed = 23L).toDF())
+    val state = Snapshots.plantedState(h)
+
+    assert(cat.writeVersion(spark, base, state) === 1L)
+    assert(cat.versions(spark, base) === Seq(1L))
+    assert(rows(cat.readCanonical(spark, base)) === rows(state))
+
+    val validated = Snapshots.validateState(
+      Snapshots.editedSnapshot(h), cat.readCanonical(spark, base))
+    val v2 = cat.applyReadModifyWrite(spark, base)(cur =>
+      Snapshots.appliedState(validated, cur))
+    assert(v2 === 2L)
+    assert(cat.versions(spark, base) === Seq(1L, 2L))
+
+    // canonical is the applied state; the pre-image is STILL readable (backup)
+    assert(rows(cat.readCanonical(spark, base)) ===
+      rows(Snapshots.appliedState(validated, state)))
+    assert(rows(cat.readVersion(spark, base, 1L)) === rows(state))
+    // apply actually changed something, so retention is non-vacuous
+    assert(rows(cat.readVersion(spark, base, 1L)) !==
+      rows(cat.readVersion(spark, base, 2L)))
+
+    // restore: old content becomes the NEW canonical; history intact
+    val v3 = cat.restoreVersion(spark, base, 1L)
+    assert(v3 === 3L)
+    assert(rows(cat.readCanonical(spark, base)) === rows(state))
+    assert(cat.versions(spark, base) === Seq(1L, 2L, 3L))
+    cat.dropAll(spark, base)
+    assert(cat.versions(spark, base) === Seq.empty)
+  }
+
+  test("resume: versions discovered from warehouse files when catalog metadata is absent") {
+    val base = "graft_spec_resume"
+    cat.dropAll(spark, base)
+    val df = spark.range(5).select(col("id"), (col("id") * 2).as("x"))
+    cat.writeVersion(spark, base, df)
+    // plant a version the CATALOG has never heard of — as a fresh session
+    // would find after a JVM restart (files survive, in-memory metadata not)
+    val wh = java.nio.file.Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    df.withColumn("x", col("x") + 1).write.mode("overwrite")
+      .parquet(wh.resolve(s"${base}_v2").toString)
+    assert(cat.versions(spark, base) === Seq(1L, 2L))
+    // readVersion re-registers the orphan directory as an external table
+    assert(rows(cat.readCanonical(spark, base)) ===
+      rows(df.withColumn("x", col("x") + 1)))
+    assert(spark.catalog.tableExists(s"${base}_v2"))
+    // and the next write lands ABOVE the recovered history
+    assert(cat.writeVersion(spark, base, df) === 3L)
+    cat.dropAll(spark, base)
+  }
+}
