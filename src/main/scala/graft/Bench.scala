@@ -74,7 +74,8 @@ object Bench {
     // like a genuine N-core executor host — which is also what the N-vs-4N
     // cluster rule is modeling.
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx12g", s"-XX:ActiveProcessorCount=$threads",
+      s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_BENCH_XMX", "16g")}",
+      s"-XX:ActiveProcessorCount=$threads",
       "-cp", System.getProperty("java.class.path"),
       "-Dspark.ui.enabled=false",
       "graft.ScalingRun", threads.toString, corpusPath, runDir)
@@ -146,10 +147,21 @@ object Bench {
   }
 
   /** One N-vs-4N scaling measurement: `reps` paired alternating fresh-JVM
-   *  runs + in-run hardware ceilings. Returns (markdown section, JSON). */
+   *  runs + in-run hardware ceilings. Returns (markdown section, JSON).
+   *
+   *  STEAL FILTERING IS PROTOCOL, not narrative (round-2 verdict): a rep
+   *  where either arm recorded hypervisor steal above
+   *  `SPARK_GRAFT_STEAL_CAP_PCT` (default 3%) is DISCARDED and re-run —
+   *  demand-correlated co-tenant bursts land almost exclusively on the
+   *  high-thread arm and can deflate a paired ratio 3-8× (BENCH_r02's 0.061
+   *  was exactly this), so medians over polluted reps measure the weather,
+   *  not the job. Discards are capped at 2·reps extra attempts and counted
+   *  in the report; if nothing passes the cap, the cleanest rejected reps
+   *  fill in (reported as such) rather than fabricating an empty median. */
   private def scalingPair(nLow: Int, reps: Int, corpusPath: String,
                           work: String): (String, String) = {
     val nHigh = 4 * nLow
+    val stealCap = sys.env.getOrElse("SPARK_GRAFT_STEAL_CAP_PCT", "3.0").toDouble
     // ceilings measured BEFORE and AFTER the reps, best-of taken per kind:
     // the probes suffer the same steal bursts as the job; the max is the
     // closest observable estimate of the actual hardware bound
@@ -157,11 +169,28 @@ object Bench {
     var n = 0L
     val highs = Seq.newBuilder[RunResult]
     val lows = Seq.newBuilder[RunResult]
-    for (r <- 1 to reps) {
-      val a = timePipeline(nHigh, corpusPath, s"$work/run$nHigh-$r")
-      val b = timePipeline(nLow, corpusPath, s"$work/run$nLow-$r")
-      n = a.rows; highs += a; lows += b
-      System.err.println(f"[bench] pair ${nLow}v$nHigh rep $r: t$nHigh=${a.seconds}%.1f s (steal ${a.stealPct}%.1f%%) t$nLow=${b.seconds}%.1f s (steal ${b.stealPct}%.1f%%) ratio=${b.seconds / a.seconds}%.2f")
+    val rejects = Seq.newBuilder[(RunResult, RunResult)]
+    var accepted = 0
+    var attempts = 0
+    val maxAttempts = 3 * reps
+    while (accepted < reps && attempts < maxAttempts) {
+      attempts += 1
+      val a = timePipeline(nHigh, corpusPath, s"$work/run$nHigh-$attempts")
+      val b = timePipeline(nLow, corpusPath, s"$work/run$nLow-$attempts")
+      n = a.rows
+      val clean = a.stealPct <= stealCap && b.stealPct <= stealCap
+      System.err.println(f"[bench] pair ${nLow}v$nHigh attempt $attempts: t$nHigh=${a.seconds}%.1f s (steal ${a.stealPct}%.1f%%) t$nLow=${b.seconds}%.1f s (steal ${b.stealPct}%.1f%%) ratio=${b.seconds / a.seconds}%.2f ${if (clean) "ACCEPT" else "DISCARD(steal)"}")
+      if (clean) { accepted += 1; highs += a; lows += b }
+      else rejects += ((a, b))
+    }
+    val discarded = attempts - accepted
+    if (accepted < reps) {
+      // weather never cleared: fill from the least-polluted rejects so the
+      // report exists, flagged loudly below
+      val fill = rejects.result().sortBy { case (a, b) => a.stealPct + b.stealPct }
+        .take(reps - accepted)
+      fill.foreach { case (a, b) => highs += a; lows += b }
+      System.err.println(s"[bench] WARNING pair ${nLow}v$nHigh: only $accepted/$reps reps under the ${stealCap}%% steal cap after $attempts attempts; filled from cleanest rejects")
     }
     val (ceilCompute1, ceilRandom1) = hwCeilings(nLow, nHigh)
     val ceilCompute = math.max(ceilCompute0, ceilCompute1)
@@ -191,6 +220,10 @@ object Bench {
 
     val md =
       f"""## Pair local[$nLow] vs local[$nHigh] ($reps reps)
+         |
+         |Steal-filter protocol: a rep with either arm over $stealCap%.1f%% hypervisor
+         |steal is discarded and re-run ($discarded discarded, $accepted/$reps accepted
+         |under the cap${if (accepted < reps) " — WEATHER NEVER CLEARED, cleanest rejects fill the shortfall" else ""}).
          |
          |Raw samples (s): local[$nHigh] = ${rawHigh.map(r => f"${r.seconds}%.1f").mkString(", ")};
          |local[$nLow] = ${rawLow.map(r => f"${r.seconds}%.1f").mkString(", ")}.
@@ -225,14 +258,21 @@ object Bench {
          |$stageTable
          |""".stripMargin
     val json =
-      f"""{"docs":$n,"n_low":$nLow,"n_high":$nHigh,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"fps_low":$fpsLow%.1f,"fps_high":$fpsHigh%.1f,"efficiency":$eff%.3f,"eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"eff_clean_pair":$effClean%.3f,"clean_pair_steal_pct":$cleanSteal%.2f,"ceiling_compute":$ceilCompute%.3f,"ceiling_cache_random":$ceilRandom%.3f,"eff_of_compute_ceiling":$effOfCeiling%.3f,"eff_of_random_ceiling":${eff / ceilRandom}%.3f}"""
+      f"""{"docs":$n,"n_low":$nLow,"n_high":$nHigh,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"fps_low":$fpsLow%.1f,"fps_high":$fpsHigh%.1f,"efficiency":$eff%.3f,"eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"eff_clean_pair":$effClean%.3f,"clean_pair_steal_pct":$cleanSteal%.2f,"steal_cap_pct":$stealCap%.1f,"reps_accepted":$accepted,"reps_discarded":$discarded,"ceiling_compute":$ceilCompute%.3f,"ceiling_cache_random":$ceilRandom%.3f,"eff_of_compute_ceiling":$effOfCeiling%.3f,"eff_of_random_ceiling":${eff / ceilRandom}%.3f}"""
     (md, json)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
+    // Default corpus: ~2M docs (~3M rows after planted duplicates). The
+    // round-2 corpus (600k docs, t16 ≈ 34 s) left the ~7 s serial stage
+    // floor (driver planning, parquet commits, CC finish) as ~20% of the
+    // high-arm wall — an Amdahl tax no core count shrinks, and the largest
+    // single bias in the measured efficiency. north_rule's regime is 10⁹
+    // rows; at ~3M rows the serial share drops under ~7% and the measured
+    // number is dominated by the job's actual parallel scaling.
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
     val work = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench").toString
 
     // ---- Phase 1: per-query timings -------------------------------------
@@ -261,7 +301,12 @@ object Bench {
     val pairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS",
       sys.env.getOrElse("SPARK_GRAFT_N", "4,8")).split(",").map(_.trim.toInt).toSeq
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val sections = pairs.map(nLow => scalingPair(nLow, reps, corpusPath, work))
+    // secondary pairs (8v32 transparency numbers) get one rep fewer — the
+    // 32-thread arm saturates the guest and mostly measures throttling;
+    // the budget belongs to the primary pair
+    val sections = pairs.zipWithIndex.map { case (nLow, i) =>
+      scalingPair(nLow, if (i == 0) reps else math.max(2, reps - 1), corpusPath, work)
+    }
 
     val baseline =
       s"""# BENCH/BASELINE — measured scaling evidence

@@ -129,11 +129,21 @@ object Pipeline {
       // write+read barrier exceeds the persist-subtree overhead it removes.
       val dropsG = ctx.spark.sparkContext.longAccumulator("graft.substring.dropped_grams")
       val out = ctx.stage("substring_pairs") {
-        Substring.verifiedSubstringPairs(
-          Substring.gramPairs(uniq.select(col("id"), explode(col("grams")).as("gram")),
-            cfg.minSharedGrams, cfg.maxBucketSize, n => dropsG.add(n)),
-          corpusK.select(xxhash64(col("rkey")).as("rkey"), col("content")), cfg.gramWidth,
-          register = Some(ctx.registerPersist))
+        if (cfg.substringViaSuffixArray)
+          // Exact prefix-doubling pass: class equality IS byte equality, so
+          // no verify join is needed — a pair here is already a true shared-
+          // window pair (SuffixArraySpec proves parity with the verified
+          // rolling path).
+          graft.operators.SuffixArray.windowClassPairs(
+            NearDup.dedupedByContentBroadcast(corpusK)
+              .select(xxhash64(col("rkey")).as("id"), col("content")),
+            cfg.gramWidth, cfg.maxBucketSize, n => dropsG.add(n))
+        else
+          Substring.verifiedSubstringPairs(
+            Substring.gramPairs(uniq.select(col("id"), explode(col("grams")).as("gram")),
+              cfg.minSharedGrams, cfg.maxBucketSize, n => dropsG.add(n)),
+            corpusK.select(xxhash64(col("rkey")).as("rkey"), col("content")), cfg.gramWidth,
+            register = Some(ctx.registerPersist))
       }
       ctx.metrics.record("substring_pairs.dropped_gram_rows", dropsG.value)
       if (dropsG.value > 0)

@@ -24,6 +24,11 @@ object ScalingRun {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      // commit algorithm v2: task outputs move straight to the destination
+      // at task commit instead of a serial driver-side rename pass at job
+      // commit — the parquet-commit slice of the serial stage floor, safe
+      // here (tmpfs, no speculative tasks, whole-directory overwrite).
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
@@ -34,7 +39,7 @@ object ScalingRun {
     spark.sparkContext.setLogLevel("WARN")
     try {
       if (!new java.io.File(corpusPath).exists()) {
-        val docs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
+        val docs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
         graft.corpus.Corpus.synthetic(spark, docs).toDF()
           .repartition(64).write.mode("overwrite").parquet(corpusPath)
       }

@@ -80,14 +80,23 @@ case class DedupConfig(
     /** Corpus row count at or under which the content-dedup representative
      *  key set broadcasts (the big side then never shuffles its content);
      *  above it, the shuffle-hash semi-join runs instead — at 10⁹ rows the
-     *  key set no longer fits an executor broadcast budget. */
-    repBroadcastMaxRows: Long = 2000000L,
+     *  key set no longer fits an executor broadcast budget. 10M ids ≈ 80 MB
+     *  broadcast — the practical ceiling of a comfortable executor
+     *  broadcast, and covers the 3M-row bench corpus. */
+    repBroadcastMaxRows: Long = 10000000L,
     /** Candidate-pair count at or under which the verify passes broadcast
      *  the pair-member key set for the semi-filter (2·pairs ids). Above it
      *  the semi-join falls back to a shuffle — at 10⁹-scale candidate
      *  volumes the member set is itself shuffle-sized. */
     verifyKeyBroadcastMaxPairs: Long = 5000000L,
     quick: Boolean = false,
+    /** Route the long-substring pass through the EXACT prefix-doubling
+     *  suffix pass ([[graft.operators.SuffixArray]]) instead of the sampled
+     *  rolling-fingerprint path — no hashing in the pair decision, at
+     *  O(total content chars) suffix-table cost. Off by default (the
+     *  sampled path is the benchmark scale path); SuffixArraySpec proves
+     *  pair-set equality on the planted fixtures. */
+    substringViaSuffixArray: Boolean = false,
     seed: Long = 42L) {
   require(minhashK == bands * rowsPerBand, "minhashK must equal bands*rowsPerBand")
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed prefix-doubling suffix pass — the TRUE suffix-array-family
+ * implementation of the north_star's "distributed suffix-array pass for long
+ * exact substrings" (the rolling-fingerprint path in [[Substring]] is the
+ * sampled/hashed scale variant; this one is EXACT, no hash anywhere in the
+ * pair decision).
+ *
+ * Classic prefix doubling (Manber–Myers; distributed form as in the
+ * MapReduce/Spark SA literature surveyed in PAPERS.md) ranks suffixes by
+ * their first k characters and doubles k each round:
+ * `class_2k(i) = (class_k(i), class_k(i+k))`. Two deliberate deviations,
+ * both *reductions* of work, neither of exactness:
+ *
+ *  - **Equivalence classes, not lexicographic ranks.** Dup detection needs
+ *    "which suffixes agree on their first w chars", never the sorted order,
+ *    so class ids only need to be distinct per class and stable — the class
+ *    id is `min(suffix_id)` over the class (a `groupBy().min()` + join
+ *    back), which removes the global sort/dense-rank pass entirely. Every
+ *    round is therefore two narrow long-keyed shuffles (class agg + the
+ *    pos+k lookup self-join), identical in shape at any corpus size.
+ *  - **Stop at depth w, overlap-combine.** Doubling runs while 2k < w; the
+ *    final window-of-w equality is the standard overlapping-windows trick
+ *    (as in sparse-table RMQ): first-w equality ⟺ `class_k(i) = class_k(j)
+ *    ∧ class_k(i+w−k) = class_k(j+w−k)` for any k ≥ w/2. Rounds are
+ *    ⌈log₂(w/c0)⌉ — 3 for the default w=48 — not log of corpus length.
+ *
+ * Scale shape: the suffix table is one row per character position —
+ * O(total content bytes) rows of `(doc, pos, sid, class)` longs. That IS
+ * the cost of an exact suffix structure; at 10⁹-file scale this pass runs
+ * on content-distinct representatives (like every similarity projection
+ * here) and remains a sequence of long-keyed hash shuffles with no
+ * driver-side state. Hot equivalence classes (boilerplate windows) are
+ * capped + REPORTED at pair emission exactly like the LSH/gram buckets.
+ *
+ * Exactness: class ids derive only from character equality (the round-0
+ * class is the literal c0-char prefix), so two positions share a final
+ * class IFF their w-char windows are byte-identical — no verification pass
+ * is needed; a pair emitted here is already a true shared-window pair
+ * (SuffixArraySpec asserts set-equality against the byte-verified rolling
+ * path on the planted fixtures).
+ */
+object SuffixArray {
+
+  /**
+   * Exact doc pairs sharing at least one identical `w`-char window:
+   * `(a_key, b_key)` with `a_key < b_key`, both 64-bit doc ids.
+   *
+   * @param docs `(id: Long, content: String)` — content-distinct docs keyed
+   *             by the pipeline's 64-bit node ids
+   * @param cap  per-class skew cap (a boilerplate window shared by more
+   *             than `cap` docs is dropped from pair generation and
+   *             reported through `onDrop` — north_rule)
+   */
+  def windowClassPairs(docs: DataFrame, w: Int, cap: Int,
+                       onDrop: Long => Unit = _ => ()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val c0 = math.min(8, w)
+
+    // Suffix table over ALL positions (not just window starts): the pos+k
+    // lookups of later rounds reach up to len-1, and a pruned row there
+    // would split a genuinely-equal class (false negative). `sid` is any
+    // unique-per-suffix long — class ids are min(sid), used only within
+    // this computation, never in the output.
+    val suffixes0 = docs
+      .select(col("id"), col("content"), length(col("content")).as("len"))
+      .where(col("len") >= w)
+      .select(col("id"), col("len"), col("content"),
+        explode(sequence(lit(0), col("len") - 1)).as("pos"))
+      .select(col("id"), col("pos"), (col("pos") + w <= col("len")).as("window_start"),
+        substring(col("content"), col("pos") + 1, lit(c0)).as("key0"))
+      .withColumn("sid", monotonically_increasing_id())
+
+    // Round 0: classes = the literal c0-char prefix (string key shuffles
+    // ONCE; every later round shuffles only longs).
+    val cls0 = suffixes0.groupBy("key0").agg(min(col("sid")).as("cid"))
+    var sfx = suffixes0.join(cls0, "key0")
+      .select(col("id"), col("pos"), col("window_start"), col("sid"), col("cid"))
+      .localCheckpoint() // cut the growing iterative lineage, same rule as CC
+    var k = c0
+    while (2 * k < w) {
+      val next = refineClasses(sfx, k)
+      sfx = next.localCheckpoint()
+      k *= 2
+    }
+
+    // Overlap combine: first-w equality = (class_k at i, class_k at i+w−k).
+    // k ≥ w/2 by the loop bound, so the two windows cover [i, i+w).
+    val lookup = sfx.select(col("id"), (col("pos") - (w - k)).as("pos"), col("cid").as("cid2"))
+    val windows = sfx.where(col("window_start"))
+      .join(lookup, Seq("id", "pos"))
+      .select(col("cid"), col("cid2"), col("id"))
+      .distinct() // many positions of one doc may share a window class
+
+    // Pair emission: the same one-exchange sorted run-scan + in-stream cap
+    // as the LSH/gram stages; class keys are (long, long) tuples compared
+    // structurally — still no hashing in the decision path.
+    windows
+      .repartition(col("cid"), col("cid2"))
+      .sortWithinPartitions("cid", "cid2", "id")
+      .select(struct(col("cid"), col("cid2")).as("bucket"), col("id"))
+      .as[((Long, Long), Long)]
+      .mapPartitions(it => graft.functions.BucketScan.pairsKeyed(it, cap, onDrop))
+      .toDF("a_key", "b_key")
+      .distinct()
+  }
+
+  /** One doubling round: `class_2k(i) = (class_k(i), class_k(i+k))`, new
+   *  ids = min(sid) per composite class. A suffix with no row at pos+k
+   *  (shorter than k+|rest|) keeps class2 = −1 — the standard
+   *  "virtual end-of-string sentinel" branch. */
+  private def refineClasses(sfx: DataFrame, k: Int): DataFrame = {
+    val at = sfx.select(col("id"), (col("pos") - k).as("pos"), col("cid").as("cidk"))
+    val paired = sfx.join(at, Seq("id", "pos"), "left_outer")
+      .select(col("id"), col("pos"), col("window_start"), col("sid"),
+        col("cid"), coalesce(col("cidk"), lit(-1L)).as("cid2"))
+    val cls = paired.groupBy("cid", "cid2").agg(min(col("sid")).as("ncid"))
+    paired.join(cls, Seq("cid", "cid2"))
+      .select(col("id"), col("pos"), col("window_start"), col("sid"),
+        col("ncid").as("cid"))
+  }
+}
