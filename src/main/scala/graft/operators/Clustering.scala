@@ -79,6 +79,12 @@ object Clustering {
   private def localComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val dbg = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(what: String): Unit = if (dbg) {
+      System.err.println(f"[graft.cc] local.$what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
       var x = x0
@@ -90,15 +96,29 @@ object Clustering {
       x
     }
     val nodes = new java.util.HashSet[Long]()
-    edges.select(col("src"), col("dst")).as[(Long, Long)].collect().foreach {
+    val collected = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    lap(s"collect(${collected.length} edges)")
+    collected.foreach {
       case (a, b) =>
         nodes.add(a); nodes.add(b)
         val ra = find(a); val rb = find(b)
         if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
     }
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
-    nodes.forEach(n => { out += ((n, find(n))); () })
-    spark.createDataset(out.toSeq).toDF("node", "component")
+    lap(s"unionfind(${nodes.size} nodes)")
+    val out = new Array[(Long, Long)](nodes.size)
+    var i = 0
+    nodes.forEach(n => { out(i) = (n, find(n)); i += 1 })
+    lap("flatten")
+    // parallelize, NOT createDataset: a local-collection Dataset encodes
+    // every row on the DRIVER at execution (LocalTableScan) — measured as a
+    // scale-flat multi-second serial segment at millions of nodes;
+    // parallelize ships raw tuples and encodes IN TASKS, in parallel.
+    val df = spark.createDataset(
+      spark.sparkContext.parallelize(out.toIndexedSeq,
+        math.max(spark.sparkContext.defaultParallelism, 8)))
+      .toDF("node", "component")
+    lap("dataset")
+    df
   }
 
   /**
@@ -134,8 +154,15 @@ object Clustering {
     // their input twice (join + aggregation side), and an unmaterialized
     // input subtree — potentially a whole upstream candidate pipeline —
     // would execute once per reference, inside every round-1 stage.
+    val dbgT = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
+    var tCk = System.nanoTime()
     var cur = if (reliable) cur0.checkpoint() else cur0.localCheckpoint(true)
-    if (cur.count() <= localFinishEdges) return localComponents(cur)
+    if (dbgT) System.err.println(
+      f"[graft.cc] input-checkpoint(reliable=$reliable) ${(System.nanoTime() - tCk) / 1e9}%.2f s")
+    tCk = System.nanoTime()
+    val nEdges = cur.count()
+    if (dbgT) System.err.println(f"[graft.cc] count($nEdges) ${(System.nanoTime() - tCk) / 1e9}%.2f s")
+    if (nEdges <= localFinishEdges) return localComponents(cur)
     var converged = false
     var it = 0
     var prevSig: (Long, Long) = (-1L, -1L)
