@@ -139,7 +139,26 @@ object Bench {
    *  contention. */
   private def weatherProbe(): Double = rate(4, () => randWork(6000000L))
 
-  @volatile private var bestProbe: Double = 0.0
+  /** Probe AFTER the system settles: immediately after a child JVM exits
+   *  the kernel is reclaiming a 16 GB heap and tmpfs pages — probes taken
+   *  then read 0.1-0.4 of idle rate and mis-blame the weather (measured).
+   *  4 s settle + best-of-2 separated by 3 s reads through transients. */
+  private def settledProbe(): Double = {
+    Thread.sleep(4000)
+    val a = weatherProbe()
+    Thread.sleep(3000)
+    math.max(a, weatherProbe())
+  }
+
+  /** Weather denominator: median of the top-5 probe rates seen — a single
+   *  unsustainable spike must not poison the index for the whole session. */
+  private val probeHistory = scala.collection.mutable.ArrayBuffer.empty[Double]
+  private def recordProbe(p: Double): Unit =
+    probeHistory.synchronized { probeHistory += p }
+  private def probeBaseline(): Double = probeHistory.synchronized {
+    val top = probeHistory.sorted(Ordering[Double].reverse).take(5)
+    if (top.isEmpty) 1.0 else top(top.size / 2)
+  }
 
   /** Block (bounded by `SPARK_GRAFT_WAIT_CLEAN_SEC`, default 300 s/arm)
    *  until the bandwidth probe reads a clean window — starting a 2-4 min
@@ -148,13 +167,15 @@ object Bench {
   private def waitForWeather(weatherMin: Double): Unit = {
     val budget = sys.env.getOrElse("SPARK_GRAFT_WAIT_CLEAN_SEC", "300").toLong
     val t0 = System.nanoTime()
-    var w = { val p = weatherProbe(); bestProbe = math.max(bestProbe, p); p / bestProbe }
+    var p = weatherProbe()
+    recordProbe(p)
+    var w = p / probeBaseline()
     while (w < weatherMin && (System.nanoTime() - t0) / 1e9 < budget) {
       System.err.println(f"[bench] weather $w%.2f < $weatherMin%.2f — waiting for a clean window")
       Thread.sleep(20000)
-      val p = weatherProbe()
-      bestProbe = math.max(bestProbe, p)
-      w = p / bestProbe
+      p = weatherProbe()
+      recordProbe(p)
+      w = p / probeBaseline()
     }
   }
 
@@ -169,10 +190,11 @@ object Bench {
     for (attempt <- 1 to tries) {
       waitForWeather(weatherMin)
       val pb = weatherProbe()
+      recordProbe(pb)
       val r = timePipeline(threads, corpusPath, s"$runDirBase-t$attempt")
-      val pa = weatherProbe()
-      bestProbe = math.max(bestProbe, math.max(pb, pa))
-      val weather = math.min(pb, pa) / bestProbe
+      val pa = settledProbe()
+      recordProbe(pa)
+      val weather = math.min(pb, pa) / probeBaseline()
       // best-effort fallback = MINIMUM wall time, not best probe index:
       // contention only ever slows a run, so min-time is the least-biased
       // estimate for EITHER arm (min t_high raises efficiency, min t_low
