@@ -362,6 +362,16 @@ object Bench {
       val ok = try { fn(s1, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // SPARK_GRAFT_QUERIES_ONLY=1: print the per-query JSON and exit
+    // (iteration mode — skips corpus materialization and the scaling reps).
+    if (sys.env.contains("SPARK_GRAFT_QUERIES_ONLY")) {
+      s1.stop()
+      val qs0 = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total0 = queryTimes.map(_._2).filter(_ >= 0).sum
+      println(s"""{"metric":"total","value":$total0,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      return
+    }
     // Pre-materialize the scaling corpus (SPARK_GRAFT_CORPUS reuses an
     // existing parquet corpus across bench invocations — iteration speed).
     val corpusPath = sys.env.getOrElse("SPARK_GRAFT_CORPUS", s"$work/corpus")

@@ -204,14 +204,19 @@ object Similarity {
               onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     val b = if (bits > 0) bits else autoBits(embeddings.count(), maxBucketSize)
     val idx = annIndex(embeddings, tables, b)
-    val hot0 = annHotBuckets(idx, maxBucketSize)
-    // Hot-bucket accounting is an action over the (tiny: ≤ n/cap rows)
-    // over-cap set — the one place a silent drop could hide. The count runs
-    // at plan-build time; its cost is one pass over the index projection.
-    val dropStats = hot0.agg(count(lit(1)).as("buckets"),
-      coalesce(sum(col("count")), lit(0L)).as("members")).head()
-    if (dropStats.getLong(0) > 0) onDrop(dropStats.getLong(0), dropStats.getLong(1))
-    val hot = broadcast(hot0.select("table", "bucket"))
+    // Hot-bucket accounting: COLLECT the over-cap set (tiny — ≤ n/cap rows,
+    // ≈244k at 10⁹ vectors/cap 4096) in ONE action, report the drops from
+    // it, and re-broadcast it as a local table — the alternative (a count
+    // action + an anti-join against the live subtree) evaluates the sketch
+    // UDF over the whole index an extra time.
+    val spark = embeddings.sparkSession
+    val hotRows = annHotBuckets(idx, maxBucketSize).collect()
+    if (hotRows.nonEmpty)
+      onDrop(hotRows.length.toLong, hotRows.map(_.getAs[Long]("count")).sum)
+    import spark.implicits._
+    val hot = broadcast(
+      hotRows.map(r => (r.getAs[Int]("table"), r.getAs[Long]("bucket"))).toSeq
+        .toDF("table", "bucket"))
     val idxOk = idx.join(hot, Seq("table", "bucket"), "left_anti")
       .repartition(col("table"), col("bucket"))
     val probes = annProbes(embeddings, tables, b)
@@ -371,11 +376,14 @@ object Similarity {
     val nProbe = math.min(nCells, if (nprobe > 0) nprobe else math.max(16, nCells / 32))
     val centroids = ivfCentroids(embeddings, nCells, iters)
     val idx = ivfIndex(embeddings, centroids)
-    val hot0 = idx.groupBy("cell").count().where(col("count") > maxCellSize)
-    val dropStats = hot0.agg(count(lit(1)).as("cells"),
-      coalesce(sum(col("count")), lit(0L)).as("members")).head()
-    if (dropStats.getLong(0) > 0) onDrop(dropStats.getLong(0), dropStats.getLong(1))
-    val hot = broadcast(hot0.select("cell"))
+    // same one-action hot-set collection + report as annTopK
+    val spark = embeddings.sparkSession
+    val hotRows = idx.groupBy("cell").count().where(col("count") > maxCellSize).collect()
+    if (hotRows.nonEmpty)
+      onDrop(hotRows.length.toLong, hotRows.map(_.getAs[Long]("count")).sum)
+    import spark.implicits._
+    val hot = broadcast(
+      hotRows.map(_.getAs[Int]("cell")).toSeq.toDF("cell"))
     val idxOk = idx.join(hot, Seq("cell"), "left_anti").repartition(col("cell"))
     val normUdf = udf((v: Seq[Float]) => normalize(v))
     val probes = embeddings.select(col("vec_id"),
