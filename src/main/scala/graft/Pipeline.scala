@@ -175,4 +175,25 @@ object Pipeline {
     }
     Result(snapshot, clusters, ctx.metrics.toDF())
   }
+
+  /**
+   * Deployment wrapper (north_star: "clusters materialize as an Iceberg
+   * table keyed by (repo, path, commit) with a canonical-representative
+   * column"): run the pipeline, then publish the cluster table — and the
+   * snapshot and metrics alongside it — as NEW VERSIONS of their catalog
+   * tables through [[graft.sources.CatalogIO]]. Re-running over an evolved
+   * corpus appends versions; every prior cluster assignment stays readable
+   * (the reference's backup rule as table-version retention). Returns the
+   * pipeline result plus the published cluster-table version.
+   */
+  def runToCatalog(ctx: RunContext, corpus: DataFrame, base: String,
+                   cfg: DedupConfig = DedupConfig(),
+                   catalog: graft.sources.CatalogIO = graft.sources.ParquetCatalog)
+      : (Result, Long) = {
+    val res = run(ctx, corpus, cfg)
+    catalog.writeVersion(ctx.spark, s"${base}_snapshot", res.snapshot)
+    val v = catalog.writeVersion(ctx.spark, s"${base}_clusters", res.clusters)
+    catalog.writeVersion(ctx.spark, s"${base}_metrics", res.metrics)
+    (res, v)
+  }
 }

@@ -51,6 +51,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.versions(spark, base) === Seq.empty)
   }
 
+  test("pipeline publishes cluster/snapshot/metrics tables as catalog versions") {
+    val base = "graft_spec_pub"
+    Seq("_snapshot", "_clusters", "_metrics").foreach(s => cat.dropAll(spark, base + s))
+    val corpus = Corpus.synthetic(spark, 150, seed = 37L).toDF()
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft_cat_run1").toString
+    val ctx1 = graft.runtime.RunContext(spark, tmp1)
+    val (res1, v1) = Pipeline.runToCatalog(ctx1, corpus, base)
+    ctx1.cleanup()
+    assert(v1 === 1L)
+    assert(rows(cat.readCanonical(spark, s"${base}_clusters")) === rows(res1.clusters))
+    assert(cat.readCanonical(spark, s"${base}_snapshot").count() === res1.snapshot.count())
+
+    // corpus evolves (rows dropped) → re-run publishes version 2; version 1
+    // stays readable — prior cluster assignments are never destroyed
+    val corpus2 = corpus.where(expr("xxhash64(repo, path) % 5 != 0"))
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_cat_run2").toString
+    val ctx2 = graft.runtime.RunContext(spark, tmp2)
+    val (res2, v2) = Pipeline.runToCatalog(ctx2, corpus2, base)
+    ctx2.cleanup()
+    assert(v2 === 2L)
+    assert(cat.versions(spark, s"${base}_clusters") === Seq(1L, 2L))
+    assert(rows(cat.readVersion(spark, s"${base}_clusters", 1L)) === rows(res1.clusters))
+    assert(rows(cat.readCanonical(spark, s"${base}_clusters")) === rows(res2.clusters))
+    Seq("_snapshot", "_clusters", "_metrics").foreach(s => cat.dropAll(spark, base + s))
+  }
+
   test("resume: versions discovered from warehouse files when catalog metadata is absent") {
     val base = "graft_spec_resume"
     cat.dropAll(spark, base)
