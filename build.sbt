@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to sbt's stdout/stderr, NOT through the
+// sbt logger: the logger prefixes every stdout line with "[info] ", which
+// broke the driver's machine parsing of Bench's JSON line in every prior
+// round (BENCH_r0{1,2,3}.json all show parsed:null with the JSON visible
+// only as an "[info] {...}" log line).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -13,11 +13,22 @@ import java.nio.file.{Files, Paths}
  *     the full checkpointed [[Pipeline]] over one pre-materialized synthetic
  *     corpus, timed at both parallelism levels with PAIRED alternating
  *     fresh-JVM reps; the reported efficiency is the median of per-rep
- *     ratios (advice: unpaired per-arm minima can fabricate any number on a
- *     noisy VM), with dispersion and a per-stage breakdown alongside.
+ *     ratios, with dispersion and a per-stage breakdown alongside.
  *     Results → BENCH/BASELINE.md.
  *
- * Prints exactly one JSON line at the end.
+ * EVIDENCE DELIVERY (the round-3 failure was losing ALL numbers to the
+ * harness timeout): the cumulative result JSON is printed-and-flushed to
+ * stdout IMMEDIATELY after phase 1 and again after every completed scaling
+ * rep — each printed line is a complete, self-contained superset of the
+ * previous one, so a parser taking either the first or the last JSON line
+ * gets valid numbers however far the run got. The same line is mirrored to
+ * `BENCH/LAST.json`, and a JVM shutdown hook re-prints it on SIGTERM.
+ * The whole run self-budgets against `SPARK_GRAFT_TOTAL_BUDGET_SEC`
+ * (measured from JVM start): arms, retries, reps and secondary pairs only
+ * START if their estimated cost fits the remaining budget, and the scaling
+ * corpus itself is SIZED from a short calibration run so one full pair
+ * always lands inside the budget even on a machine several times slower
+ * than the one this was tuned on.
  */
 object Bench {
 
@@ -60,6 +71,46 @@ object Bench {
     (if (f.length > 7) f(7) else 0L, f.sum)
   }
 
+  // ---------------------------------------------------------- budgeting ----
+
+  /** One global wall-clock budget for the WHOLE bench process, measured from
+   *  JVM start: the driver wraps the run in a hard timeout, and a run that
+   *  overruns it reports NOTHING (round 3). Everything time-consuming —
+   *  weather waits, arm retries, extra reps, the secondary pair — is gated
+   *  on fitting inside what remains of this budget. */
+  private val startNanos: Long = System.nanoTime()
+  private val totalBudgetSec: Double =
+    sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_SEC",
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "2100")).toDouble
+  private def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
+  private def remainingSec: Double = totalBudgetSec - elapsedSec
+
+  /** Running per-thread-count arm-time estimates (median of observed runs;
+   *  seeded by the calibration run). Used to decide whether another arm /
+   *  retry / rep / pair still fits the budget BEFORE starting it. */
+  private val armObs = scala.collection.mutable.Map.empty[Int, List[Double]]
+    .withDefaultValue(Nil)
+  private def recordArm(threads: Int, sec: Double): Unit =
+    armObs.synchronized { armObs(threads) = sec :: armObs(threads) }
+  private def armEstimate(threads: Int): Option[Double] = armObs.synchronized {
+    val obs = armObs(threads)
+    if (obs.nonEmpty) Some(median(obs))
+    else {
+      // derive from another thread count via the measured clean-weather wall
+      // ratio t4/t16 ≈ 2.4-3.0 (use 3.0 — conservative for low-thread arms)
+      armObs.collectFirst {
+        case (t, o) if o.nonEmpty =>
+          val base = median(o)
+          if (threads >= t) base * t / threads * 1.3 else base * 3.0 * t / (4.0 * threads)
+      }
+    }
+  }
+  /** Estimated cost of one full paired rep at (nLow, 4·nLow) incl. probes. */
+  private def pairEstimate(nLow: Int): Double =
+    armEstimate(4 * nLow).getOrElse(300.0) + armEstimate(nLow).getOrElse(600.0) + 40.0
+
+  // ------------------------------------------------------ child-JVM runs ----
+
   /** One timed pipeline run in a FRESH child JVM: clean JIT/GC state — the
    *  in-JVM probe showed 3× swings for identical work otherwise. Captures
    *  per-stage wall times (the timed run's stage lines overwrite the
@@ -93,15 +144,19 @@ object Bench {
     val stages = StageRe.findAllMatchIn(out.toString)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.last._2 } // timed run = last
-    Re.findFirstMatchIn(out)
+    val res = Re.findFirstMatchIn(out)
       .map(m => RunResult(m.group(1).toDouble, m.group(2).toLong, stages, steal))
       .getOrElse(sys.error(s"no scaling_run line in child output:\n${out.takeRight(2000)}"))
+    recordArm(threads, res.seconds)
+    res
   }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
+
+  // ------------------------------------------------------ weather probes ----
 
   private def hashWork(buf: Array[Byte], iters: Long): Long = {
     var h = 0L; var i = 0L
@@ -132,7 +187,7 @@ object Bench {
 
   /** Quick cache-random bandwidth probe (~2 s at 4 threads) — the WEATHER
    *  GAUGE. This VM's dominant noise is co-tenant memory-system contention
-   *  that /proc/stat steal does NOT fully show (measured this round:
+   *  that /proc/stat steal does NOT fully show (measured round 3:
    *  identical fresh-JVM runs swinging 132 s → 404 s at 1-2%% steal); a
    *  random-walk probe through a 32 MB/thread table reads the same shared
    *  L3/DRAM path the shuffle stages do, so its rate drop IS the
@@ -160,28 +215,22 @@ object Bench {
     if (top.isEmpty) 1.0 else top(top.size / 2)
   }
 
-  /** Global wall-clock budget for the whole scaling phase (driver-run
-   *  protection: weather waits + retries must degrade to "measure what you
-   *  can" rather than overrun the harness timeout and report nothing).
-   *  Once past the deadline, waits are skipped and each arm runs once. */
-  private val scalingDeadline: Long = System.nanoTime() +
-    (sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "2400").toLong * 1000000000L)
-  private def pastDeadline: Boolean = System.nanoTime() > scalingDeadline
-
-  /** Block (bounded by `SPARK_GRAFT_WAIT_CLEAN_SEC`, default 300 s/arm)
-   *  until the bandwidth probe reads a clean window — starting a 2-4 min
-   *  timed arm inside a known co-tenant burst wastes the whole run, so the
-   *  protocol WAITS for weather instead of measuring it. */
-  private def waitForWeather(weatherMin: Double): Unit = {
-    if (pastDeadline) return
-    val budget = sys.env.getOrElse("SPARK_GRAFT_WAIT_CLEAN_SEC", "300").toLong
+  /** Wait (bounded) for the bandwidth probe to read a clean window — but
+   *  only while the budget comfortably affords waiting: waiting is worth a
+   *  cleaner number ONLY if the arm it protects still runs afterwards.
+   *  Round 3 lost the whole report to exactly this wait. */
+  private def waitForWeather(weatherMin: Double, armEstSec: Double): Unit = {
+    val budget = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_WAIT_CLEAN_SEC", "90").toDouble,
+      remainingSec - 2.0 * armEstSec)
+    if (budget <= 0) return
     val t0 = System.nanoTime()
     var p = weatherProbe()
     recordProbe(p)
     var w = p / probeBaseline()
-    while (w < weatherMin && !pastDeadline && (System.nanoTime() - t0) / 1e9 < budget) {
+    while (w < weatherMin && (System.nanoTime() - t0) / 1e9 < budget) {
       System.err.println(f"[bench] weather $w%.2f < $weatherMin%.2f — waiting for a clean window")
-      Thread.sleep(20000)
+      Thread.sleep(15000)
       p = weatherProbe()
       recordProbe(p)
       w = p / probeBaseline()
@@ -191,15 +240,23 @@ object Bench {
   /** Run one arm until its weather is clean: hypervisor steal under
    *  `stealCap` AND the bracketing bandwidth probes within `weatherMin` of
    *  the best rate seen this session. Returns the accepted (or least-bad)
-   *  result plus its weather index and accept flag. */
+   *  result plus its weather index, accept flag, and how many attempts ran.
+   *  A retry only starts if its estimated time fits the remaining budget. */
   private def cleanArm(threads: Int, corpusPath: String, runDirBase: String,
                        stealCap: Double, weatherMin: Double,
-                       tries: Int = 3): (RunResult, Double, Boolean) = {
+                       tries: Int = 3): (RunResult, Double, Boolean, Int) = {
     var best: (RunResult, Double) = null
+    var attempts = 0
     for (attempt <- 1 to tries) {
-      waitForWeather(weatherMin)
+      val est = armEstimate(threads).getOrElse(0.0)
+      if (best != null && remainingSec < est * 1.15) {
+        System.err.println(f"[bench] budget ${remainingSec}%.0f s < est ${est}%.0f s — keeping best-effort arm t$threads")
+        return (best._1, best._2, false, attempts)
+      }
+      waitForWeather(weatherMin, est)
       val pb = weatherProbe()
       recordProbe(pb)
+      attempts += 1
       val r = timePipeline(threads, corpusPath, s"$runDirBase-t$attempt")
       val pa = settledProbe()
       recordProbe(pa)
@@ -212,13 +269,9 @@ object Bench {
       if (best == null || r.seconds < best._1.seconds) best = (r, weather)
       val ok = r.stealPct <= stealCap && weather >= weatherMin
       System.err.println(f"[bench] arm t$threads attempt $attempt: ${r.seconds}%.1f s steal ${r.stealPct}%.1f%% weather $weather%.2f ${if (ok) "OK" else "RETRY"}")
-      if (ok) return (r, weather, true)
-      if (pastDeadline) {
-        System.err.println(s"[bench] scaling budget exhausted — keeping best-effort arm t$threads")
-        return (best._1, best._2, false)
-      }
+      if (ok) return (r, weather, true, attempts)
     }
-    (best._1, best._2, false)
+    (best._1, best._2, false, attempts)
   }
 
   /** Measured hardware scaling ceilings nLow→nHigh threads (no Spark):
@@ -240,53 +293,30 @@ object Bench {
     (ceiling(() => hashWork(buf, 2000000)), ceiling(() => randWork(20000000L)))
   }
 
-  /** One N-vs-4N scaling measurement: `reps` paired alternating fresh-JVM
-   *  runs + in-run hardware ceilings. Returns (markdown section, JSON).
-   *
-   *  STEAL FILTERING IS PROTOCOL, not narrative (round-2 verdict): a rep
-   *  where either arm recorded hypervisor steal above
-   *  `SPARK_GRAFT_STEAL_CAP_PCT` (default 3%) is DISCARDED and re-run —
-   *  demand-correlated co-tenant bursts land almost exclusively on the
-   *  high-thread arm and can deflate a paired ratio 3-8× (BENCH_r02's 0.061
-   *  was exactly this), so medians over polluted reps measure the weather,
-   *  not the job. Discards are capped at 2·reps extra attempts and counted
-   *  in the report; if nothing passes the cap, the cleanest rejected reps
-   *  fill in (reported as such) rather than fabricating an empty median. */
-  private def scalingPair(nLow: Int, reps: Int, corpusPath: String,
-                          work: String): (String, String) = {
-    val nHigh = 4 * nLow
-    val stealCap = sys.env.getOrElse("SPARK_GRAFT_STEAL_CAP_PCT", "1.5").toDouble
-    val weatherMin = sys.env.getOrElse("SPARK_GRAFT_WEATHER_MIN", "0.85").toDouble
-    // ceilings measured BEFORE and AFTER the reps, best-of taken per kind:
-    // the probes suffer the same steal bursts as the job; the max is the
-    // closest observable estimate of the actual hardware bound
-    val (ceilCompute0, ceilRandom0) = hwCeilings(nLow, nHigh)
-    var n = 0L
-    val highs = Seq.newBuilder[RunResult]
-    val lows = Seq.newBuilder[RunResult]
-    val weathers = Seq.newBuilder[Double]
-    var cleanReps = 0
-    var armRuns = 0
-    var r = 0
-    while (r < reps && !(pastDeadline && r > 0)) { // ≥1 rep even past budget
-      r += 1
-      val (a, wA, okA) = cleanArm(nHigh, corpusPath, s"$work/run$nHigh-$r", stealCap, weatherMin)
-      val (b, wB, okB) = cleanArm(nLow, corpusPath, s"$work/run$nLow-$r", stealCap, weatherMin)
-      n = a.rows
-      highs += a; lows += b; weathers += math.min(wA, wB)
-      armRuns += 2
-      if (okA && okB) cleanReps += 1
-      System.err.println(f"[bench] pair ${nLow}v$nHigh rep $r: t$nHigh=${a.seconds}%.1f s t$nLow=${b.seconds}%.1f s ratio=${b.seconds / a.seconds}%.2f weather=${math.min(wA, wB)}%.2f ${if (okA && okB) "CLEAN" else "DIRTY(best-effort)"}")
-    }
-    val accepted = cleanReps
-    val discarded = 0 // per-arm retries replace whole-rep discards
-    val (ceilCompute1, ceilRandom1) = hwCeilings(nLow, nHigh)
-    val ceilCompute = math.max(ceilCompute0, ceilCompute1)
-    val ceilRandom = math.max(ceilRandom0, ceilRandom1)
-    val (rawHigh, rawLow) = (highs.result(), lows.result())
+  // -------------------------------------------------- one scaling pair ----
+
+  private case class PairState(
+      nLow: Int, nHigh: Int, stealCap: Double, weatherMin: Double,
+      var n: Long = 0L,
+      highs: scala.collection.mutable.ArrayBuffer[RunResult] = scala.collection.mutable.ArrayBuffer(),
+      lows: scala.collection.mutable.ArrayBuffer[RunResult] = scala.collection.mutable.ArrayBuffer(),
+      weathers: scala.collection.mutable.ArrayBuffer[Double] = scala.collection.mutable.ArrayBuffer(),
+      attemptsHigh: scala.collection.mutable.ArrayBuffer[Int] = scala.collection.mutable.ArrayBuffer(),
+      attemptsLow: scala.collection.mutable.ArrayBuffer[Int] = scala.collection.mutable.ArrayBuffer(),
+      cleanFlags: scala.collection.mutable.ArrayBuffer[Boolean] = scala.collection.mutable.ArrayBuffer(),
+      var ceilCompute: Double = 0.0, var ceilRandom: Double = 0.0)
+
+  /** Render the (markdown section, JSON object) for the pair's data SO FAR —
+   *  called after every completed rep so partial evidence survives a kill. */
+  private def renderPair(st: PairState): (String, String) = {
+    import st._
+    val rawHigh = highs.toSeq
+    val rawLow = lows.toSeq
+    val reps = rawHigh.size
     val ratios = rawHigh.zip(rawLow).map { case (h, l) => l.seconds / h.seconds }
     val effs = ratios.map(_ / 4.0)
     val eff = median(effs)
+    val cleanReps = cleanFlags.count(identity)
     // the rep pair least polluted by hypervisor steal — the best view of the
     // JOB's scaling as opposed to the weather's
     val cleanIdx = ratios.indices.minBy(i => rawHigh(i).stealPct + rawLow(i).stealPct)
@@ -296,27 +326,29 @@ object Bench {
     val tLow = median(rawLow.map(_.seconds))
     val fpsHigh = n / tHigh
     val fpsLow = n / tLow
-    val effOfCeiling = eff / ceilCompute
+    val effOfCeiling = if (ceilCompute > 0) eff / ceilCompute else 0.0
 
     // per-stage medians for the N-vs-4N breakdown table
     val stageNames = rawHigh.flatMap(_.stages.keys).distinct.sorted
-    val stageTable = stageNames.map { st =>
-      val h = median(rawHigh.flatMap(_.stages.get(st)))
-      val l = median(rawLow.flatMap(_.stages.get(st)))
-      f"| $st | $l%.1f | $h%.1f | ${l / h}%.2f |"
+    val stageTable = stageNames.map { s =>
+      val h = median(rawHigh.flatMap(_.stages.get(s)))
+      val l = median(rawLow.flatMap(_.stages.get(s)))
+      f"| $s | $l%.1f | $h%.1f | ${l / h}%.2f |"
     }.mkString("\n")
 
-    val wx = weathers.result()
+    val wx = weathers.toSeq
     val md =
       f"""## Pair local[$nLow] vs local[$nHigh] ($reps reps)
          |
          |Weather-filter protocol (per ARM, by protocol not narrative): each
          |arm run is bracketed by cache-random bandwidth probes and re-run
-         |(≤3 tries) until hypervisor steal ≤ $stealCap%.1f%% AND the probe rate is
-         |≥ ${weatherMin}%.2f of the session-best — co-tenant memory-system
-         |contention on this VM inflates identical runs up to 3× while
-         |showing only 1-2%% steal, so steal alone under-filters. Reps all
-         |clean: $accepted/$reps. Per-rep weather index (min of both arms):
+         |(≤3 tries, budget permitting) until hypervisor steal ≤ $stealCap%.1f%% AND
+         |the probe rate is ≥ ${weatherMin}%.2f of the session-best — co-tenant
+         |memory-system contention on this VM inflates identical runs up to 3×
+         |while showing only 1-2%% steal, so steal alone under-filters. Reps
+         |with both arms protocol-clean: $cleanReps/$reps. Attempts per rep
+         |(high arm): ${attemptsHigh.mkString(", ")}; (low arm): ${attemptsLow.mkString(", ")}.
+         |Per-rep weather index (min of both arms):
          |${wx.map(w => f"$w%.2f").mkString(", ")}.
          |
          |Raw samples (s): local[$nHigh] = ${rawHigh.map(r => f"${r.seconds}%.1f").mkString(", ")};
@@ -341,7 +373,7 @@ object Bench {
          || hw ceiling: pure compute | ${ceilCompute}%.3f |
          || hw ceiling: cache-random (hash/sort-like) | ${ceilRandom}%.3f |
          || efficiency / compute ceiling | ${effOfCeiling}%.3f |
-         || efficiency / cache-random ceiling | ${eff / ceilRandom}%.3f |
+         || efficiency / cache-random ceiling | ${if (ceilRandom > 0) eff / ceilRandom else 0.0}%.3f |
          || target (north_rule) | >= 0.8 |
          |
          |Per-stage medians (materialized stages only; light stages fold into
@@ -351,23 +383,95 @@ object Bench {
          ||---|---|---|---|
          |$stageTable
          |""".stripMargin
+    // attempts arrays replace the former hardcoded "reps_discarded":0 —
+    // the protocol retries ARMS, it never discards whole reps, so the JSON
+    // now reports exactly what ran: attempts per arm per rep + clean flags.
     val json =
-      f"""{"docs":$n,"n_low":$nLow,"n_high":$nHigh,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"fps_low":$fpsLow%.1f,"fps_high":$fpsHigh%.1f,"efficiency":$eff%.3f,"eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"eff_clean_pair":$effClean%.3f,"clean_pair_steal_pct":$cleanSteal%.2f,"steal_cap_pct":$stealCap%.1f,"weather_min":$weatherMin%.2f,"weather_per_rep":[${wx.map(w => f"$w%.2f").mkString(",")}],"reps_all_clean":$accepted,"arm_runs":$armRuns,"reps_discarded":$discarded,"ceiling_compute":$ceilCompute%.3f,"ceiling_cache_random":$ceilRandom%.3f,"eff_of_compute_ceiling":$effOfCeiling%.3f,"eff_of_random_ceiling":${eff / ceilRandom}%.3f}"""
+      f"""{"docs":$n,"n_low":$nLow,"n_high":$nHigh,"reps":$reps,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"fps_low":$fpsLow%.1f,"fps_high":$fpsHigh%.1f,"efficiency":$eff%.3f,"eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"eff_clean_pair":$effClean%.3f,"clean_pair_steal_pct":$cleanSteal%.2f,"steal_cap_pct":$stealCap%.1f,"weather_min":$weatherMin%.2f,"weather_per_rep":[${wx.map(w => f"$w%.2f").mkString(",")}],"reps_all_clean":$cleanReps,"attempts_high":[${attemptsHigh.mkString(",")}],"attempts_low":[${attemptsLow.mkString(",")}],"ceiling_compute":$ceilCompute%.3f,"ceiling_cache_random":$ceilRandom%.3f,"eff_of_compute_ceiling":$effOfCeiling%.3f,"eff_of_random_ceiling":${if (ceilRandom > 0) eff / ceilRandom else 0.0}%.3f,"t_high_all":[${rawHigh.map(r => f"${r.seconds}%.1f").mkString(",")}],"t_low_all":[${rawLow.map(r => f"${r.seconds}%.1f").mkString(",")}]}"""
     (md, json)
   }
+
+  /** N-vs-4N scaling measurement with streaming emission: `onUpdate` fires
+   *  after ceilings and after EVERY completed rep with the pair's rendered
+   *  state so far. Reps beyond the first only start if their estimated cost
+   *  fits the remaining budget. */
+  private def scalingPair(nLow: Int, reps: Int, corpusPath: String, work: String,
+                          onUpdate: ((String, String)) => Unit): (String, String) = {
+    val nHigh = 4 * nLow
+    val stealCap = sys.env.getOrElse("SPARK_GRAFT_STEAL_CAP_PCT", "1.5").toDouble
+    val weatherMin = sys.env.getOrElse("SPARK_GRAFT_WEATHER_MIN", "0.85").toDouble
+    val st = PairState(nLow, nHigh, stealCap, weatherMin)
+    // ceilings measured BEFORE the reps (and refreshed after, budget
+    // permitting): the probes suffer the same steal bursts as the job; the
+    // max is the closest observable estimate of the actual hardware bound
+    val (c0, r0) = hwCeilings(nLow, nHigh)
+    st.ceilCompute = c0; st.ceilRandom = r0
+    var r = 0
+    while (r < reps && (r == 0 || remainingSec > pairEstimate(nLow) * 1.15)) {
+      r += 1
+      val (a, wA, okA, atA) = cleanArm(nHigh, corpusPath, s"$work/run$nHigh-$r", stealCap, weatherMin)
+      val (b, wB, okB, atB) = cleanArm(nLow, corpusPath, s"$work/run$nLow-$r", stealCap, weatherMin)
+      st.n = a.rows
+      st.highs += a; st.lows += b; st.weathers += math.min(wA, wB)
+      st.attemptsHigh += atA; st.attemptsLow += atB
+      st.cleanFlags += (okA && okB)
+      System.err.println(f"[bench] pair ${nLow}v$nHigh rep $r: t$nHigh=${a.seconds}%.1f s t$nLow=${b.seconds}%.1f s ratio=${b.seconds / a.seconds}%.2f weather=${math.min(wA, wB)}%.2f ${if (okA && okB) "CLEAN" else "DIRTY(best-effort)"}")
+      onUpdate(renderPair(st))
+    }
+    if (remainingSec > 150) {
+      val (c1, r1) = hwCeilings(nLow, nHigh)
+      st.ceilCompute = math.max(st.ceilCompute, c1)
+      st.ceilRandom = math.max(st.ceilRandom, r1)
+    }
+    val rendered = renderPair(st)
+    onUpdate(rendered)
+    rendered
+  }
+
+  // ------------------------------------------------------------- main ----
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // Default corpus: ~2M docs (~3M rows after planted duplicates). The
-    // round-2 corpus (600k docs, t16 ≈ 34 s) left the ~7 s serial stage
-    // floor (driver planning, parquet commits, CC finish) as ~20% of the
-    // high-arm wall — an Amdahl tax no core count shrinks, and the largest
-    // single bias in the measured efficiency. north_rule's regime is 10⁹
-    // rows; at ~3M rows the serial share drops under ~7% and the measured
-    // number is dominated by the job's actual parallel scaling.
+    // Target corpus: ~2M docs (~3M rows after planted duplicates) — sized so
+    // the ~7 s serial stage floor (driver planning, parquet commits, CC
+    // finish) stays under ~7% of the high-arm wall (north_rule's regime is
+    // 10⁹ rows; the serial share is the largest single bias at small size).
+    // The CALIBRATION step below shrinks this when the machine is slower
+    // than the one this default was tuned on — a smaller corpus with
+    // evidence beats a bigger one with none.
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
     val work = Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench").toString
+
+    // Cumulative result line: printed-and-flushed on every update; each
+    // emission is a complete superset of the previous one.
+    var queriesJson = "{}"
+    var totalSec = 0.0
+    var scalingJson: Option[String] = None
+    var secondaryJson: Option[String] = None
+    def currentLine(): String = {
+      val scal = scalingJson.map(s => s""","scaling":$s""").getOrElse("")
+      val sec = secondaryJson.map(s => s""","scaling_secondary":$s""").getOrElse("")
+      s"""{"metric":"total","value":$totalSec,"unit":"sec","queries":$queriesJson,"sf":"$sfDir"$scal$sec,"elapsed_sec":${elapsedSec.round},"budget_sec":${totalBudgetSec.round}}"""
+    }
+    val lastLine = new java.util.concurrent.atomic.AtomicReference[String]("")
+    def emit(): Unit = {
+      val line = currentLine()
+      lastLine.set(line)
+      println(line)
+      System.out.flush()
+      try {
+        Files.createDirectories(Paths.get("BENCH"))
+        Files.writeString(Paths.get("BENCH/LAST.json"), line)
+      } catch { case _: Throwable => () }
+    }
+    // SIGTERM insurance: if the harness timeout kills this JVM mid-run, the
+    // shutdown hook re-prints the last complete line so the final stdout
+    // still ends with parseable JSON.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val l = lastLine.get()
+      if (l.nonEmpty) { println(l); System.out.flush() }
+    }))
 
     // ---- Phase 1: per-query timings -------------------------------------
     val s1 = session(cpus)
@@ -377,77 +481,115 @@ object Bench {
       val ok = try { fn(s1, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // SPARK_GRAFT_QUERIES_ONLY=1: print the per-query JSON and exit
-    // (iteration mode — skips corpus materialization and the scaling reps).
-    if (sys.env.contains("SPARK_GRAFT_QUERIES_ONLY")) {
-      s1.stop()
-      val qs0 = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      val total0 = queryTimes.map(_._2).filter(_ >= 0).sum
-      println(s"""{"metric":"total","value":$total0,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
-      return
+    queriesJson = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    totalSec = queryTimes.map(_._2).filter(_ >= 0).sum
+    emit() // phase-1 numbers are now on stdout whatever happens later
+    if (sys.env.contains("SPARK_GRAFT_QUERIES_ONLY")) { s1.stop(); return }
+
+    // ---- Calibration + corpus sizing ------------------------------------
+    // One t_high arm over a small calibration corpus estimates this
+    // machine's per-doc cost TODAY (the driver's environment has measured
+    // up to 6× slower than the builder's clean windows — round-3 evidence);
+    // the scaling corpus is then the LARGEST size whose first full pair
+    // fits comfortably inside the remaining budget.
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS",
+      sys.env.getOrElse("SPARK_GRAFT_N", "4,8")).split(",").map(_.trim.toInt).toSeq
+    val nHighPrimary = 4 * pairs.head
+    val repsWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val fixedCorpus = sys.env.get("SPARK_GRAFT_CORPUS").filter(p => new java.io.File(p).exists())
+    val corpusPath = fixedCorpus.getOrElse {
+      val calibDocs = math.min(250000L, benchDocs)
+      val calibPath = s"$work/corpus_calib"
+      graft.corpus.Corpus.synthetic(s1, calibDocs).toDF()
+        .repartition(16).write.mode("overwrite").parquet(calibPath)
+      val tCal = timePipeline(nHighPrimary, calibPath, s"$work/calib").seconds
+      // fixed per-run overhead (JVM start, session init, warmup) ≈ 15 s —
+      // subtracted before scaling per-doc cost, added back per arm
+      val ovh = 15.0
+      val perDoc = math.max(1e-7, (tCal - ovh) / calibDocs)
+      // First pair cost ≈ t_high + t_low + probes ≈ 4.5·t_high_parallel +
+      // 2·ovh + 40; spend at most 45% of what remains on it so retries, a
+      // second rep and the final render all fit.
+      val targetTHigh = math.max(20.0, (remainingSec * 0.45 - 40.0) / 4.5)
+      val floorDocs = math.min(250000L, benchDocs)
+      val docs = math.max(floorDocs, math.min(benchDocs,
+        ((targetTHigh - ovh) / perDoc).toLong))
+      System.err.println(f"[bench] calibration: t$nHighPrimary=${tCal}%.1f s at $calibDocs docs → ${perDoc * 1e6}%.1f µs/doc; corpus sized to $docs docs (budget ${remainingSec}%.0f s left)")
+      // seed the arm estimates for the chosen size
+      armObs.synchronized { armObs.clear() }
+      recordArm(nHighPrimary, perDoc * docs + ovh)
+      recordArm(pairs.head, 3.0 * perDoc * docs + ovh)
+      if (docs == calibDocs) calibPath
+      else {
+        val p = s"$work/corpus"
+        graft.corpus.Corpus.synthetic(s1, docs).toDF()
+          .repartition(64).write.mode("overwrite").parquet(p)
+        p
+      }
     }
-    // Pre-materialize the scaling corpus (SPARK_GRAFT_CORPUS reuses an
-    // existing parquet corpus across bench invocations — iteration speed).
-    val corpusPath = sys.env.getOrElse("SPARK_GRAFT_CORPUS", s"$work/corpus")
-    if (!new java.io.File(corpusPath).exists())
-      graft.corpus.Corpus.synthetic(s1, benchDocs).toDF()
-        .repartition(64).write.mode("overwrite").parquet(corpusPath)
     s1.stop()
 
     // ---- Phase 2: scaling evidence (N vs 4N cores) -----------------------
-    // Two pairs by default: local[4] vs local[16] (primary — both levels stay
-    // inside the VM's deliverable vCPUs once Spark's service threads and the
-    // host harness are counted) and local[8] vs local[32] (the driver-named
-    // evidence pair; the 32 arm saturates every vCPU, so hypervisor steal
-    // bites it hardest). Alternating PAIRED fresh-JVM reps per pair; the
-    // efficiency estimate is the median of per-rep ratios.
-    val pairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS",
-      sys.env.getOrElse("SPARK_GRAFT_N", "4,8")).split(",").map(_.trim.toInt).toSeq
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // secondary pairs (8v32 transparency numbers) get one rep fewer — the
-    // 32-thread arm saturates the guest and mostly measures throttling;
-    // the budget belongs to the primary pair
-    val sections = pairs.zipWithIndex.map { case (nLow, i) =>
-      scalingPair(nLow, if (i == 0) reps else math.max(2, reps - 1), corpusPath, work)
+    // Primary pair local[4] vs local[16] (both levels stay inside the VM's
+    // deliverable vCPUs once Spark's service threads and the host harness
+    // are counted); secondary local[8] vs local[32] only if budget remains —
+    // the 32-arm saturates the guest and mostly measures throttling.
+    var sections = Vector.empty[(String, String)]
+    def writeBaseline(): Unit = {
+      val baseline =
+        s"""# BENCH/BASELINE — measured scaling evidence
+           |
+           |Workload: full checkpointed dedup pipeline (exact sha256 snapshot +
+           |MinHash/LSH near-dup + verified substring fingerprints + connected-
+           |components clusters) over a deterministic synthetic corpus, same
+           |input at both parallelism levels of each pair (driver rule: no real
+           |cluster — local[N] vs local[4N] stands in for N vs 4N executors;
+           |measured at N=4 and, budget permitting, the driver-named N=8).
+           |
+           |Methodology (per round-1 advice): PAIRED alternating reps,
+           |one fresh child JVM per run (clean JIT/GC state); efficiency =
+           |median over reps of (t_low_i / t_high_i) / 4 — paired ratios, not
+           |per-arm minima, because identical runs on this shared VM swing with
+           |co-tenant bursts. Dispersion and per-rep hypervisor steal are
+           |reported per pair. Hardware scaling ceilings are measured in-run:
+           |no job can scale past what the VM's shared memory system delivers
+           |to plain threaded code. Local mode additionally shares ONE memory
+           |system across both arms, where a real 4N cluster brings 4x L3/DRAM
+           |alongside 4x cores — the local measurement structurally understates
+           |cluster scaling for every cache/bandwidth-bound stage. Event-log
+           |profile + fix list: BENCH/PROFILE_r03.md (clean-weather task-time
+           |inflation 4→16 threads measured at 1.34x — the shared-memory bound
+           |that caps any 4→16 job efficiency near 0.75·utilization here).
+           |The corpus is sized by an in-run calibration arm so the evidence
+           |lands inside the harness budget on machines slower than the one
+           |the defaults were tuned on (round-3 lesson).
+           |
+           |${sections.map(_._1).mkString("\n")}""".stripMargin
+      Files.createDirectories(Paths.get("BENCH"))
+      Files.writeString(Paths.get("BENCH/BASELINE.md"), baseline)
     }
 
-    val baseline =
-      s"""# BENCH/BASELINE — measured scaling evidence
-         |
-         |Workload: full checkpointed dedup pipeline (exact sha256 snapshot +
-         |MinHash/LSH near-dup + verified substring fingerprints + connected-
-         |components clusters) over a deterministic synthetic corpus, same
-         |input at both parallelism levels of each pair (driver rule: no real
-         |cluster — local[N] vs local[4N] stands in for N vs 4N executors;
-         |measured at N=4 and at the driver-named N=8).
-         |
-         |Methodology (per round-1 advice): PAIRED alternating reps,
-         |one fresh child JVM per run (clean JIT/GC state); efficiency =
-         |median over reps of (t_low_i / t_high_i) / 4 — paired ratios, not
-         |per-arm minima, because identical runs on this shared VM swing with
-         |co-tenant bursts. Dispersion and per-rep hypervisor steal are
-         |reported per pair. Hardware scaling ceilings are measured in-run
-         |(before and after the reps, best-of): no job can scale past what
-         |the VM's shared memory system delivers to plain threaded code.
-         |Local mode additionally shares ONE memory system across both arms,
-         |where a real 4N cluster brings 4x L3/DRAM alongside 4x cores — the
-         |local measurement structurally understates cluster scaling for
-         |every cache/bandwidth-bound stage. Event-log profile + the fix list
-         |behind these numbers: BENCH/PROFILE_r02.md (clean-weather task-time
-         |inflation 4→16 threads measured at 1.34x — the shared-memory bound
-         |that caps any 4→16 job efficiency near 0.75·utilization here).
-         |
-         |${sections.map(_._1).mkString("\n")}""".stripMargin
-    Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), baseline)
+    pairs.zipWithIndex.foreach { case (nLow, i) =>
+      val isPrimary = i == 0
+      val est = pairEstimate(nLow)
+      if (isPrimary || remainingSec > est * 1.2) {
+        val reps = if (isPrimary) repsWanted else math.max(1, repsWanted - 1)
+        var slot = -1
+        scalingPair(nLow, reps, corpusPath, work, rendered => {
+          if (slot < 0) { sections = sections :+ rendered; slot = sections.size - 1 }
+          else sections = sections.updated(slot, rendered)
+          if (isPrimary) scalingJson = Some(rendered._2)
+          else secondaryJson = Some(rendered._2)
+          writeBaseline()
+          emit()
+        })
+      } else {
+        System.err.println(f"[bench] skipping pair ${nLow}v${4 * nLow}: est ${est}%.0f s > remaining ${remainingSec}%.0f s")
+      }
+    }
 
-    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).filter(_ >= 0).sum
-    val extra = sections.drop(1).map(s => s""","scaling_secondary":${s._2}""").mkString
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":${sections.head._2}$extra}""")
+    emit()
 
     // tmpfs hygiene: the work dir lives in RAM
     try {

@@ -129,15 +129,20 @@ object Pipeline {
       // write+read barrier exceeds the persist-subtree overhead it removes.
       val dropsG = ctx.spark.sparkContext.longAccumulator("graft.substring.dropped_grams")
       val out = ctx.stage("substring_pairs") {
-        if (cfg.substringViaSuffixArray)
+        if (cfg.substringViaSuffixArray) {
           // Exact prefix-doubling pass: class equality IS byte equality, so
           // no verify join is needed — a pair here is already a true shared-
           // window pair (SuffixArraySpec proves parity with the verified
-          // rolling path).
+          // rolling path). Same broadcast-vs-shuffle gate as the uniq stage:
+          // past `repBroadcastMaxRows` the representative key set no longer
+          // fits the broadcast budget.
+          val deduped =
+            if (nCorpusRows <= cfg.repBroadcastMaxRows) NearDup.dedupedByContentBroadcast(corpusK)
+            else NearDup.dedupedByContent(corpusK)
           graft.operators.SuffixArray.windowClassPairs(
-            NearDup.dedupedByContentBroadcast(corpusK)
-              .select(xxhash64(col("rkey")).as("id"), col("content")),
+            deduped.select(xxhash64(col("rkey")).as("id"), col("content")),
             cfg.gramWidth, cfg.maxBucketSize, n => dropsG.add(n))
+        }
         else
           Substring.verifiedSubstringPairs(
             Substring.gramPairs(uniq.select(col("id"), explode(col("grams")).as("gram")),

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.XXHash64
-
 /**
  * Embedding similarity search: brute-force cosine top-k as the correctness
  * baseline and TWO scale paths — a random-hyperplane LSH-bucketed ANN and an
@@ -94,23 +92,66 @@ object Similarity {
       .select("a_id", "b_id", "cosq")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, bit, dim):
-   *  a signed 64-bit hash scaled to [-1, 1] — no RNG state to ship. */
-  private def plane(table: Int, bit: Int, dim: Int): Double =
-    XXHash64.hashLong((table.toLong << 32) | (bit.toLong << 16) | dim.toLong, 4242L).toDouble / Long.MaxValue.toDouble
+  /**
+   * Deterministic hyperplane component for (table, bit, dim): a signed
+   * 16-bit integer derived from `md5("t,b,d")` (first 4 hex chars − 32768).
+   * INTEGER planes × INTEGER quantized vectors make the sign test
+   * `Σ qᵈ·planeᵈ > 0` an exact 64-bit sum — order-independent, no float
+   * rounding anywhere — so an ANSI SQL engine replays the ENTIRE sketch
+   * bit-for-bit (q18's DuckDB oracle does; same md5 trick as the q08
+   * SimHash oracle). Round-3 verdict: the former float-dot sketch was
+   * deterministic in-engine but not replayable across engines (float sum
+   * order), which kept q18/q26 `no_oracle`. Magnitudes: |q| ≤ ~3·10⁴,
+   * |plane| ≤ 2¹⁵, dims ≤ ~10⁴ ⇒ |dot| ≤ ~10¹³ ≪ 2⁶³.
+   */
+  private[graft] def planeQ(t: Int, b: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$t,$b,$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 4 hex chars = first 2 bytes, big-endian
+    (((h(0) & 0xff) << 8) | (h(1) & 0xff)).toLong - 32768L
+  }
 
-  /** Sign-bit sketch UDF: for each of `tables`, a `bits`-bit bucket id. */
-  private def bucketsUdf(tables: Int, bits: Int) =
-    udf((v: Seq[Float]) => {
+  /** Plane table, flat-indexed `[t·bits·dims + b·dims + d]` — computed once
+   *  on the driver (tables·bits·dims md5 calls) and shipped in the UDF
+   *  closure instead of hashing per row. */
+  private def planesFor(tables: Int, bits: Int, dims: Int): Array[Long] = {
+    val out = new Array[Long](tables * bits * dims)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      while (b < bits) {
+        var d = 0
+        while (d < dims) { out((t * bits + b) * dims + d) = planeQ(t, b, d); d += 1 }
+        b += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  /** Quantized vector column (same `floor(x·1000)` metric as the cosine
+   *  ranking). */
+  private def qCol: Column =
+    transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+
+  private def dimsOf(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).take(1).headOption.map(_.getInt(0)).getOrElse(1)
+
+  /** Sign-bit sketch UDF over the QUANTIZED vector: for each of `tables`, a
+   *  `bits`-bit bucket id from exact integer dot signs. */
+  private def bucketsUdfQ(tables: Int, bits: Int, dims: Int, planes: Array[Long]) =
+    udf((v: Seq[Long]) => {
       val out = new Array[Long](tables)
+      val n = math.min(v.length, dims)
       var t = 0
       while (t < tables) {
         var bucket = 0L
         var b = 0
         while (b < bits) {
-          var dot = 0.0
+          val off = (t * bits + b) * dims
+          var dot = 0L
           var i = 0
-          while (i < v.length) { dot += v(i) * plane(t, b, i); i += 1 }
+          while (i < n) { dot += v(i) * planes(off + i); i += 1 }
           if (dot > 0) bucket |= (1L << b)
           b += 1
         }
@@ -121,26 +162,33 @@ object Similarity {
     })
 
   /** `(vec_id, table, bucket)` — the LSH index table. */
-  def annIndex(embeddings: DataFrame, tables: Int = 16, bits: Int = 8): DataFrame =
+  def annIndex(embeddings: DataFrame, tables: Int = 16, bits: Int = 8): DataFrame = {
+    val dims = dimsOf(embeddings)
     embeddings.select(col("vec_id"),
-      posexplode(bucketsUdf(tables, bits)(col("embedding"))).as(Seq("table", "bucket")))
+      posexplode(bucketsUdfQ(tables, bits, dims, planesFor(tables, bits, dims))(qCol))
+        .as(Seq("table", "bucket")))
+  }
 
   /** Multi-probe query buckets: the exact bucket plus every 1-bit flip
    *  (Lv et al., VLDB'07 multi-probe LSH) — `(bits + 1) · tables` probe rows
    *  per vector, recovering the recall that higher `bits` (smaller buckets)
    *  would otherwise cost. */
   def annProbes(embeddings: DataFrame, tables: Int = 16, bits: Int = 8): DataFrame = {
-    val probesUdf = udf((v: Seq[Float]) => {
+    val dims = dimsOf(embeddings)
+    val planes = planesFor(tables, bits, dims)
+    val probesUdf = udf((v: Seq[Long]) => {
       val base = new Array[Long](tables)
-      // same sketch as bucketsUdf
+      val n = math.min(v.length, dims)
+      // same sketch as bucketsUdfQ
       var t = 0
       while (t < tables) {
         var bucket = 0L
         var b = 0
         while (b < bits) {
-          var dot = 0.0
+          val off = (t * bits + b) * dims
+          var dot = 0L
           var i = 0
-          while (i < v.length) { dot += v(i) * plane(t, b, i); i += 1 }
+          while (i < n) { dot += v(i) * planes(off + i); i += 1 }
           if (dot > 0) bucket |= (1L << b)
           b += 1
         }
@@ -159,7 +207,7 @@ object Similarity {
       out
     })
     embeddings.select(col("vec_id"),
-        posexplode(probesUdf(col("embedding"))).as(Seq("pos", "bucket")))
+        posexplode(probesUdf(qCol)).as(Seq("pos", "bucket")))
       .select(col("vec_id"), (col("pos") / (bits + 1)).cast("int").as("table"), col("bucket"))
   }
 
@@ -203,7 +251,19 @@ object Similarity {
               maxBucketSize: Int = 4096,
               onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     val b = if (bits > 0) bits else autoBits(embeddings.count(), maxBucketSize)
-    val idx = annIndex(embeddings, tables, b)
+    annTopKFromIndex(embeddings, annIndex(embeddings, tables, b), k, tables, b,
+      maxBucketSize, onDrop)
+  }
+
+  /** [[annTopK]] over a PREBUILT `(vec_id, table, bucket)` index — the
+   *  deployment shape: at 10⁹ vectors the index is built once and persisted
+   *  (e.g. as a [[graft.sources.CatalogIO]] version — see
+   *  [[graft.operators.SimilarityIndexStore]]), and each query batch reads
+   *  it instead of re-sketching the corpus per call. `tables`/`bits` must
+   *  match the values the index was built with (the store records them). */
+  def annTopKFromIndex(embeddings: DataFrame, idx: DataFrame, k: Int,
+                       tables: Int, bits: Int, maxBucketSize: Int = 4096,
+                       onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     // Hot-bucket accounting: COLLECT the over-cap set (tiny — ≤ n/cap rows,
     // ≈244k at 10⁹ vectors/cap 4096) in ONE action, report the drops from
     // it, and re-broadcast it as a local table — the alternative (a count
@@ -219,7 +279,7 @@ object Similarity {
         .toDF("table", "bucket"))
     val idxOk = idx.join(hot, Seq("table", "bucket"), "left_anti")
       .repartition(col("table"), col("bucket"))
-    val probes = annProbes(embeddings, tables, b)
+    val probes = annProbes(embeddings, tables, bits)
       .join(hot, Seq("table", "bucket"), "left_anti")
     val cand = probes.as("a").join(idxOk.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
@@ -256,70 +316,76 @@ object Similarity {
   /**
    * IVF (inverted-file) coarse quantizer — the second ANN scale path,
    * complementary to the hyperplane-LSH index: Lloyd k-means cells with a
-   * fixed iteration count and zero RNG state. Initial centroids are the
-   * `cells` vectors with the smallest `xxhash64(vec_id)` (deterministic,
-   * data-independent of insertion order); assignment ties break on the lower
-   * cell index.
+   * fixed iteration count, zero RNG state, and EXACT INTEGER arithmetic
+   * end-to-end (round-3 verdict: the float spherical Lloyd was
+   * deterministic in-engine but float-sum order made it non-replayable
+   * across engines, keeping q26 `no_oracle`). The working space is the
+   * unit-sphere-quantized vector `nq` ([[normQuantized]]): members are
+   * integer points, distances are exact 64-bit sums of squared integer
+   * diffs (cosine order ⇔ L2 order on the normalized points), and the
+   * centroid update is `floorDiv(Σ component, count)` — every step
+   * order-independent, so DuckDB replays the whole build bit-for-bit
+   * (q26's oracle). Initial centroids are the `cells` vectors with the
+   * smallest `md5(vec_id)` (data-independent of insertion order;
+   * ANSI-replayable, unlike xxhash64); assignment ties break on the lower
+   * cell index; a cell that loses all members keeps its position.
    *
-   * Scale shape: centroids are tiny (`cells · d` doubles) and ride into the
+   * Scale shape: centroids are tiny (`cells · d` longs) and ride into the
    * assignment UDF as a broadcast-sized literal — the assignment pass is
    * map-only. The centroid update explodes `(cell, pos, component)` and
-   * aggregates `avg` per `(cell, pos)`: the explode is in-stage (no
-   * shuffle); partial aggregation means the exchange carries only
+   * aggregates `(sum, count)` per `(cell, pos)`: the explode is in-stage
+   * (no shuffle); partial aggregation means the exchange carries only
    * `partitions · cells · d` partial sums, NOT `n · d` rows. Each Lloyd
    * round is therefore one map + one narrow shuffle at any corpus size.
    */
-  private def normalize(v: Seq[Float]): Array[Double] = {
-    var ss = 0.0
-    var i = 0
-    while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
-    val n = math.sqrt(ss)
-    val out = new Array[Double](v.length)
-    i = 0
-    while (i < v.length) { out(i) = if (n > 0) v(i) / n else 0.0; i += 1 }
-    out
-  }
+  def normQuantized(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .withColumn("nq",
+        when(col("ss") === 0L, transform(col("q"), _ => lit(0L)))
+          // √ss and the division are single correctly-rounded IEEE-754 ops
+          // over EXACT integer inputs — deterministic across JVM and DuckDB
+          // (the same argument the oracle-proven cosq formula relies on).
+          .otherwise(transform(col("q"),
+            x => floor(x.cast("double") * 10000 / sqrt(col("ss").cast("double"))).cast("long"))))
+      .select("vec_id", "nq")
 
-  /** Spherical k-means (the metric is cosine, so cells live on the unit
-   *  sphere: members and centroids are L2-normalized each round). */
-  def ivfCentroids(embeddings: DataFrame, cells: Int = 32, iters: Int = 3): Array[Array[Double]] = {
-    def renorm(a: Array[Double]): Array[Double] = {
-      val n = math.sqrt(a.map(x => x * x).sum)
-      if (n > 0) a.map(_ / n) else a
-    }
-    val normUdf = udf((v: Seq[Float]) => normalize(v))
-    val normed = embeddings.select(col("vec_id"), normUdf(col("embedding")).as("nv"))
-    var centroids: Array[Array[Double]] =
-      normed.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+  /** Integer Lloyd on the normalized-quantized points. */
+  def ivfCentroids(embeddings: DataFrame, cells: Int = 32, iters: Int = 3): Array[Array[Long]] = {
+    val normed = normQuantized(embeddings)
+    var centroids: Array[Array[Long]] =
+      normed.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
         .limit(cells)
+        .select("nq")
         .collect()
-        .map(_.getSeq[Double](1).toArray)
+        .map(_.getSeq[Long](0).toArray)
     var it = 0
     while (it < iters) {
       val assigned = normed.select(
-        assignCellUdf(centroids)(col("nv")).as("cell"), col("nv"))
+        assignCellUdf(centroids)(col("nq")).as("cell"), col("nq"))
       val upd = assigned
-        .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "component")))
-        .groupBy("cell", "pos").agg(avg(col("component")).as("c"))
+        .select(col("cell"), posexplode(col("nq")).as(Seq("pos", "component")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("component")).as("s"), count(lit(1)).as("c"))
         .collect()
-      val next = centroids.map(_.clone())
-      upd.foreach(r => next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Double]("c"))
-      centroids = next.map(renorm) // cells that lost all members keep their position
+      val next = centroids.map(_.clone()) // cells that lost all members keep their position
+      upd.foreach(r => next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+        Math.floorDiv(r.getAs[Long]("s"), r.getAs[Long]("c")))
+      centroids = next
       it += 1
     }
     centroids
   }
 
-  /** Nearest-centroid assignment on the unit sphere (squared L2 of the
-   *  normalized vector ⇔ cosine order; ties → lower cell index). */
-  private def assignCellUdf(centroids: Array[Array[Double]]) =
-    udf((v: Seq[Double]) => {
+  /** Nearest-centroid assignment (exact integer squared L2 on the
+   *  normalized-quantized points ⇔ cosine order; ties → lower cell index). */
+  private def assignCellUdf(centroids: Array[Array[Long]]) =
+    udf((v: Seq[Long]) => {
       var best = 0
-      var bestD = Double.MaxValue
+      var bestD = Long.MaxValue
       var c = 0
       while (c < centroids.length) {
         val ctr = centroids(c)
-        var d = 0.0
+        var d = 0L
         var i = 0
         while (i < ctr.length && i < v.length) {
           val x = v(i) - ctr(i); d += x * x; i += 1
@@ -330,12 +396,13 @@ object Similarity {
       best
     })
 
-  /** `nprobe` nearest cells per vector (query-side probe list). */
-  private def probeCellsUdf(centroids: Array[Array[Double]], nprobe: Int) =
-    udf((v: Seq[Double]) => {
+  /** `nprobe` nearest cells per vector (query-side probe list; exact
+   *  integer distances, ties → lower cell index). */
+  private def probeCellsUdf(centroids: Array[Array[Long]], nprobe: Int) =
+    udf((v: Seq[Long]) => {
       val ds = centroids.indices.map { c =>
         val ctr = centroids(c)
-        var d = 0.0
+        var d = 0L
         var i = 0
         while (i < ctr.length && i < v.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
         (d, c)
@@ -344,11 +411,9 @@ object Similarity {
     })
 
   /** `(vec_id, cell)` IVF index table. */
-  def ivfIndex(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val normUdf = udf((v: Seq[Float]) => normalize(v))
-    embeddings.select(col("vec_id"),
-      assignCellUdf(centroids)(normUdf(col("embedding"))).as("cell"))
-  }
+  def ivfIndex(embeddings: DataFrame, centroids: Array[Array[Long]]): DataFrame =
+    normQuantized(embeddings).select(col("vec_id"),
+      assignCellUdf(centroids)(col("nq")).as("cell"))
 
   /** Scale-aware cell count (`cells = 0` auto): the classic IVF sizing
    *  `cells ≈ √n` (balances assignment cost n·cells against cell occupancy
@@ -373,9 +438,20 @@ object Similarity {
               nprobe: Int = 0, maxCellSize: Int = 65536,
               onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     val nCells = if (cells > 0) cells else autoCells(embeddings.count())
-    val nProbe = math.min(nCells, if (nprobe > 0) nprobe else math.max(16, nCells / 32))
     val centroids = ivfCentroids(embeddings, nCells, iters)
-    val idx = ivfIndex(embeddings, centroids)
+    ivfTopKFromIndex(embeddings, centroids, ivfIndex(embeddings, centroids),
+      k, nprobe, maxCellSize, onDrop)
+  }
+
+  /** [[ivfTopK]] over PREBUILT centroids + `(vec_id, cell)` index — the
+   *  deployment shape (build once, persist via
+   *  [[graft.operators.SimilarityIndexStore]], query many). */
+  def ivfTopKFromIndex(embeddings: DataFrame, centroids: Array[Array[Long]],
+                       idx: DataFrame, k: Int, nprobe: Int = 0,
+                       maxCellSize: Int = 65536,
+                       onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    val nCells = centroids.length
+    val nProbe = math.min(nCells, if (nprobe > 0) nprobe else math.max(16, nCells / 32))
     // same one-action hot-set collection + report as annTopK
     val spark = embeddings.sparkSession
     val hotRows = idx.groupBy("cell").count().where(col("count") > maxCellSize).collect()
@@ -385,9 +461,8 @@ object Similarity {
     val hot = broadcast(
       hotRows.map(_.getAs[Int]("cell")).toSeq.toDF("cell"))
     val idxOk = idx.join(hot, Seq("cell"), "left_anti").repartition(col("cell"))
-    val normUdf = udf((v: Seq[Float]) => normalize(v))
-    val probes = embeddings.select(col("vec_id"),
-        explode(probeCellsUdf(centroids, nProbe)(normUdf(col("embedding")))).as("cell"))
+    val probes = normQuantized(embeddings).select(col("vec_id"),
+        explode(probeCellsUdf(centroids, nProbe)(col("nq"))).as("cell"))
       .join(hot, Seq("cell"), "left_anti")
     val cand = probes.as("a").join(idxOk.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))

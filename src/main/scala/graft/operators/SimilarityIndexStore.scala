@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.CatalogIO
+
+/**
+ * Persisted ANN indexes (round-3 verdict "Next round #5"): at 10⁹ vectors
+ * the LSH index / IVF centroids are built ONCE and stored as versioned
+ * catalog tables ([[graft.sources.CatalogIO]] — same retention rule as every
+ * other published table); each query batch then reads the stored index
+ * instead of re-sketching the corpus per call (which also removes the
+ * per-call `count()` that sizing `autoBits`/`autoCells` needs — the stored
+ * meta row carries the build parameters).
+ *
+ * Tables per logical index `base`:
+ *  - `<base>_ann_idx`  : (vec_id, table, bucket)      — hyperplane-LSH index
+ *  - `<base>_ann_meta` : (tables, bits)               — build parameters
+ *  - `<base>_ivf_idx`  : (vec_id, cell)               — IVF assignment
+ *  - `<base>_ivf_cent` : (cell, pos, cv)              — IVF centroids (long)
+ *
+ * Rebuilding over an evolved corpus writes NEW versions; readers pin the
+ * canonical (newest) version for a whole query session.
+ */
+object SimilarityIndexStore {
+
+  /** Build + persist the hyperplane-LSH index; returns the written version.
+   *  `bits = 0` auto-sizes from the corpus (the one count() this path runs —
+   *  at build time, not per query). */
+  def buildAnn(spark: SparkSession, catalog: CatalogIO, base: String,
+               embeddings: DataFrame, tables: Int = 16, bits: Int = 0,
+               maxBucketSize: Int = 4096): Long = {
+    val b = if (bits > 0) bits else Similarity.autoBits(embeddings.count(), maxBucketSize)
+    import spark.implicits._
+    catalog.writeVersion(spark, s"${base}_ann_meta", Seq((tables, b)).toDF("tables", "bits"))
+    catalog.writeVersion(spark, s"${base}_ann_idx", Similarity.annIndex(embeddings, tables, b))
+  }
+
+  /** ANN top-k through the STORED index — row-identical to
+   *  `Similarity.annTopK` with the same parameters (IndexStoreSpec). */
+  def annTopK(spark: SparkSession, catalog: CatalogIO, base: String,
+              queries: DataFrame, k: Int = 5, maxBucketSize: Int = 4096,
+              onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    val meta = catalog.readCanonical(spark, s"${base}_ann_meta").head()
+    val idx = catalog.readCanonical(spark, s"${base}_ann_idx")
+    Similarity.annTopKFromIndex(queries, idx, k,
+      meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), maxBucketSize, onDrop)
+  }
+
+  /** Build + persist the IVF index (centroids + assignments); returns the
+   *  written version. `cells = 0` auto-sizes at build time. */
+  def buildIvf(spark: SparkSession, catalog: CatalogIO, base: String,
+               embeddings: DataFrame, cells: Int = 0, iters: Int = 3): Long = {
+    val nCells = if (cells > 0) cells else Similarity.autoCells(embeddings.count())
+    val centroids = Similarity.ivfCentroids(embeddings, nCells, iters)
+    import spark.implicits._
+    val centRows = centroids.zipWithIndex.flatMap { case (cv, c) =>
+      cv.zipWithIndex.map { case (v, pos) => (c, pos, v) }
+    }.toSeq
+    catalog.writeVersion(spark, s"${base}_ivf_cent", centRows.toDF("cell", "pos", "cv"))
+    catalog.writeVersion(spark, s"${base}_ivf_idx",
+      Similarity.ivfIndex(embeddings, centroids))
+  }
+
+  /** Reconstruct the centroid array from its stored `(cell, pos, cv)` rows. */
+  def loadIvfCentroids(spark: SparkSession, catalog: CatalogIO, base: String): Array[Array[Long]] = {
+    val rows = catalog.readCanonical(spark, s"${base}_ivf_cent").collect()
+    val cells = rows.map(_.getAs[Int]("cell")).max + 1
+    val dims = rows.map(_.getAs[Int]("pos")).max + 1
+    val out = Array.fill(cells)(new Array[Long](dims))
+    rows.foreach(r => out(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) = r.getAs[Long]("cv"))
+    out
+  }
+
+  /** IVF top-k through the STORED centroids + index — row-identical to
+   *  `Similarity.ivfTopK` with the same parameters (IndexStoreSpec). */
+  def ivfTopK(spark: SparkSession, catalog: CatalogIO, base: String,
+              queries: DataFrame, k: Int = 5, nprobe: Int = 0,
+              maxCellSize: Int = 65536,
+              onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    val centroids = loadIvfCentroids(spark, catalog, base)
+    val idx = catalog.readCanonical(spark, s"${base}_ivf_idx")
+    Similarity.ivfTopKFromIndex(queries, centroids, idx, k, nprobe, maxCellSize, onDrop)
+  }
+}

@@ -157,15 +157,29 @@ class IcebergCatalog(catalog: String, namespace: String) extends CatalogIO {
   private def fqn(base: String) = s"$catalog.$namespace.$base"
 
   override def writeVersion(spark: SparkSession, base: String, df: DataFrame): Long = {
-    if (versions(spark, base).isEmpty) df.writeTo(fqn(base)).createOrReplace()
+    // The create-vs-overwrite branch is gated on an EXPLICIT existence check,
+    // never on "versions() came back empty": a metadata-read failure on an
+    // existing table (misconfigured catalog, permissions, transient
+    // metastore error) must surface as an error, not silently route into a
+    // replace that discards the table's snapshot history — the exact
+    // destroy-without-backup the trait contract forbids. `create()` (not
+    // createOrReplace) keeps even the create branch non-destructive: racing
+    // a concurrent creator fails loudly instead of replacing its commit.
+    if (!spark.catalog.tableExists(fqn(base))) df.writeTo(fqn(base)).create()
+    // Full-content replace as a NEW snapshot (history retained — that is
+    // Iceberg's overwrite semantics; on an unpartitioned table
+    // overwritePartitions is a whole-table dynamic overwrite).
     else df.writeTo(fqn(base)).overwritePartitions()
     versions(spark, base).last
   }
 
   override def versions(spark: SparkSession, base: String): Seq[Long] =
-    try spark.sql(s"SELECT snapshot_id FROM ${fqn(base)}.snapshots ORDER BY committed_at")
+    // Missing table → no versions; any OTHER failure reading the snapshot
+    // metadata propagates (mapping it to Seq.empty turned transient
+    // metastore errors into an empty history — see writeVersion note).
+    if (!spark.catalog.tableExists(fqn(base))) Seq.empty
+    else spark.sql(s"SELECT snapshot_id FROM ${fqn(base)}.snapshots ORDER BY committed_at")
       .collect().toSeq.map(_.getLong(0))
-    catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
 
   override def readVersion(spark: SparkSession, base: String, version: Long): DataFrame =
     spark.sql(s"SELECT * FROM ${fqn(base)} VERSION AS OF $version")

@@ -94,10 +94,17 @@ object DedupStream {
               // tax paid per group for an output whose row SET is
               // order-insensitive). The buffer is bounded by the micro-batch
               // (`maxFilesPerTrigger`), not by group size across time.
+              // Running min under UTF-8 BINARY order — the batch snapshot
+              // elects via Spark's min(rkey) (binary collation); Java's
+              // String '<' is UTF-16 code-unit order, which diverges for
+              // supplementary-plane keys (see BucketScan.utf8Ordering doc),
+              // so using it here could elect a different keeper in stream
+              // vs batch and break the proven single-batch parity.
+              val ord = graft.functions.BucketScan.utf8Ordering
               val buf = new scala.collection.mutable.ArrayBuffer[Member]
               var keeper: String = null
               rows.foreach { m =>
-                if (keeper == null || m.rkey < keeper) keeper = m.rkey
+                if (keeper == null || ord.lt(m.rkey, keeper)) keeper = m.rkey
                 buf += m
               }
               if (buf.isEmpty) Iterator.empty
