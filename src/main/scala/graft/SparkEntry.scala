@@ -168,16 +168,21 @@ object SparkEntry {
     "q17_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5)),
 
-    // ANN scale path — hyperplane-LSH bucketed top-5 (no SQL oracle;
-    // recall vs brute force measured in SimilaritySpec).
+    // ANN scale path — hyperplane-LSH bucketed top-5. FULLY DuckDB-oracled:
+    // md5-derived integer hyperplanes × quantized vectors make every sketch
+    // bit an exact 64-bit sum, so the oracle replays sketch → multi-probe →
+    // capped buckets → exact cosine top-k bit-for-bit (recall vs brute force
+    // additionally measured in SimilaritySpec).
     "q18_ann_topk" -> ((s, dir) =>
       Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5,
         onDrop = (b, m) => System.err.println(
           s"[graft.skew] ann_topk: $b hot buckets ($m member rows) over cap — dropped, reported"))),
 
-    // ANN scale path #2 — IVF coarse-quantizer top-5 (deterministic Lloyd
-    // cells, nprobe probing; no SQL oracle — recall vs brute force measured
-    // in SimilaritySpec).
+    // ANN scale path #2 — IVF coarse-quantizer top-5. FULLY DuckDB-oracled:
+    // integer Lloyd on norm-quantized points (md5 seeding, floorDiv centroid
+    // updates) is order-independent end-to-end, so the oracle unrolls the
+    // exact 3-iteration build + nprobe search in SQL (recall vs brute force
+    // additionally measured in SimilaritySpec).
     "q26_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 5,
         onDrop = (c, m) => System.err.println(
@@ -657,6 +662,166 @@ SELECT vec_id, neighbor_id, rank, cosq FROM (
       ORDER BY CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) DESC,
                p.neighbor_id) AS rank
   FROM p JOIN n na ON p.vec_id = na.vec_id JOIN n nb ON p.neighbor_id = nb.vec_id
+) t WHERE rank <= 5""",
+
+      // Full replay of the hyperplane-LSH ANN path (round-3 verdict #2):
+      // quantize → md5-derived 16-bit integer planes (planeQ: first 4 hex
+      // chars − 32768) → exact integer dot signs → 8-bit buckets × 16
+      // tables → skew cap (HAVING > 4096; vacuous at this SF but replayed
+      // for fidelity) → multi-probe (base + every 1-bit flip) → distinct
+      // candidates → exact quantized cosine → top-5. Parameters pin the
+      // autoBits/defaults resolution at the gate's corpus size (bits = 8
+      // holds for any n ≤ 262k vectors).
+      "q18_ann_topk" ->
+        """WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+u AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM emb),
+n AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS ss FROM u GROUP BY 1),
+tb AS (SELECT t.t, b.b FROM (SELECT unnest(generate_series(0, 15)) AS t) t
+       CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b),
+dims AS (SELECT unnest(generate_series(1, (SELECT max(i) FROM u))) AS i),
+planes AS (
+  SELECT t, b, i,
+    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) - 32768 AS BIGINT) AS w
+  FROM (SELECT tb.t, tb.b, d.i, substr(md5(tb.t || ',' || tb.b || ',' || (d.i - 1)), 1, 4) AS h
+        FROM tb CROSS JOIN dims d)
+),
+dots AS (
+  SELECT u.vec_id, p.t, p.b, CAST(sum(u.v * p.w) AS BIGINT) AS dot
+  FROM u JOIN planes p ON u.i = p.i GROUP BY 1, 2, 3
+),
+bkt AS (
+  SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+hot AS (SELECT t, bucket FROM bkt GROUP BY t, bucket HAVING count(*) > 4096),
+idx AS (SELECT b.* FROM bkt b LEFT JOIN hot h ON b.t = h.t AND b.bucket = h.bucket WHERE h.t IS NULL),
+probe0 AS (
+  SELECT vec_id, t, bucket FROM bkt
+  UNION ALL
+  SELECT b.vec_id, b.t, xor(b.bucket, CAST(1 AS BIGINT) << j.j) AS bucket
+  FROM bkt b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+),
+probes AS (SELECT p.* FROM probe0 p LEFT JOIN hot h ON p.t = h.t AND p.bucket = h.bucket WHERE h.t IS NULL),
+cand AS (
+  SELECT DISTINCT p.vec_id AS vec_id, x.vec_id AS neighbor_id
+  FROM probes p JOIN idx x ON p.t = x.t AND p.bucket = x.bucket AND p.vec_id <> x.vec_id
+),
+pd AS (
+  SELECT c.vec_id, c.neighbor_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM cand c JOIN u a ON a.vec_id = c.vec_id JOIN u b ON b.vec_id = c.neighbor_id AND a.i = b.i
+  GROUP BY 1, 2
+)
+SELECT vec_id, neighbor_id, rank, cosq FROM (
+  SELECT pd.vec_id, pd.neighbor_id,
+    CAST(pd.dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cosq,
+    row_number() OVER (
+      PARTITION BY pd.vec_id
+      ORDER BY CAST(pd.dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) DESC,
+               pd.neighbor_id) AS rank
+  FROM pd JOIN n na ON pd.vec_id = na.vec_id JOIN n nb ON pd.neighbor_id = nb.vec_id
+) t WHERE rank <= 5""",
+
+      // Full replay of the IVF path (round-3 verdict #2): norm-quantize
+      // (floor(q·10⁴/√ss)) → md5(vec_id)-smallest seeds → THREE unrolled
+      // integer Lloyd iterations (exact squared-L2 assignment, tie → lower
+      // cell; floorDiv(sum,count) centroid update — floor(double/count) is
+      // exact at these magnitudes, DuckDB's // truncates instead; empty
+      // cells keep position) → final assignment index → cell cap (vacuous
+      // here) → 16-probe nearest cells → exact quantized cosine top-5.
+      // cells = 32 pins autoCells at the gate's corpus size (n ≤ 1024).
+      "q26_ivf_topk" ->
+        """WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+u AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM emb),
+n AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS ss FROM u GROUP BY 1),
+nqt AS (
+  SELECT e.vec_id,
+    CASE WHEN n.ss = 0 THEN list_transform(e.q, x -> CAST(0 AS BIGINT))
+         ELSE list_transform(e.q, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 / sqrt(CAST(n.ss AS DOUBLE))) AS BIGINT)) END AS nq
+  FROM emb e JOIN n USING (vec_id)
+),
+un AS (SELECT vec_id, unnest(nq) AS v, generate_subscripts(nq, 1) AS i FROM nqt),
+seedv AS (
+  SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM nqt QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 32
+),
+c0 AS (SELECT s.cell, q.i, q.v AS w FROM seedv s JOIN un q USING (vec_id)),
+d1 AS (
+  SELECT un.vec_id, c.cell, CAST(sum((un.v - c.w) * (un.v - c.w)) AS BIGINT) AS d
+  FROM un JOIN c0 c ON un.i = c.i GROUP BY 1, 2
+),
+asg1 AS (SELECT vec_id, cell FROM d1 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+upd1 AS (
+  SELECT a.cell, un.i, CAST(sum(un.v) AS BIGINT) AS s, count(*) AS cnt
+  FROM asg1 a JOIN un ON un.vec_id = a.vec_id GROUP BY 1, 2
+),
+c1 AS (
+  SELECT c.cell, c.i, coalesce(CAST(floor(CAST(p.s AS DOUBLE) / p.cnt) AS BIGINT), c.w) AS w
+  FROM c0 c LEFT JOIN upd1 p ON c.cell = p.cell AND c.i = p.i
+),
+d2 AS (
+  SELECT un.vec_id, c.cell, CAST(sum((un.v - c.w) * (un.v - c.w)) AS BIGINT) AS d
+  FROM un JOIN c1 c ON un.i = c.i GROUP BY 1, 2
+),
+asg2 AS (SELECT vec_id, cell FROM d2 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+upd2 AS (
+  SELECT a.cell, un.i, CAST(sum(un.v) AS BIGINT) AS s, count(*) AS cnt
+  FROM asg2 a JOIN un ON un.vec_id = a.vec_id GROUP BY 1, 2
+),
+c2 AS (
+  SELECT c.cell, c.i, coalesce(CAST(floor(CAST(p.s AS DOUBLE) / p.cnt) AS BIGINT), c.w) AS w
+  FROM c1 c LEFT JOIN upd2 p ON c.cell = p.cell AND c.i = p.i
+),
+d3 AS (
+  SELECT un.vec_id, c.cell, CAST(sum((un.v - c.w) * (un.v - c.w)) AS BIGINT) AS d
+  FROM un JOIN c2 c ON un.i = c.i GROUP BY 1, 2
+),
+asg3 AS (SELECT vec_id, cell FROM d3 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+upd3 AS (
+  SELECT a.cell, un.i, CAST(sum(un.v) AS BIGINT) AS s, count(*) AS cnt
+  FROM asg3 a JOIN un ON un.vec_id = a.vec_id GROUP BY 1, 2
+),
+c3 AS (
+  SELECT c.cell, c.i, coalesce(CAST(floor(CAST(p.s AS DOUBLE) / p.cnt) AS BIGINT), c.w) AS w
+  FROM c2 c LEFT JOIN upd3 p ON c.cell = p.cell AND c.i = p.i
+),
+d4 AS (
+  SELECT un.vec_id, c.cell, CAST(sum((un.v - c.w) * (un.v - c.w)) AS BIGINT) AS d
+  FROM un JOIN c3 c ON un.i = c.i GROUP BY 1, 2
+),
+asg4 AS (SELECT vec_id, cell FROM d4 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+hot AS (SELECT cell FROM asg4 GROUP BY cell HAVING count(*) > 65536),
+idxok AS (SELECT a.* FROM asg4 a LEFT JOIN hot h ON a.cell = h.cell WHERE h.cell IS NULL),
+probes AS (
+  SELECT p.vec_id, p.cell FROM (
+    SELECT vec_id, cell FROM d4 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) <= 16
+  ) p LEFT JOIN hot h ON p.cell = h.cell WHERE h.cell IS NULL
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS vec_id, x.vec_id AS neighbor_id
+  FROM probes p JOIN idxok x ON p.cell = x.cell AND p.vec_id <> x.vec_id
+),
+pd AS (
+  SELECT c.vec_id, c.neighbor_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM cand c JOIN u a ON a.vec_id = c.vec_id JOIN u b ON b.vec_id = c.neighbor_id AND a.i = b.i
+  GROUP BY 1, 2
+)
+SELECT vec_id, neighbor_id, rank, cosq FROM (
+  SELECT pd.vec_id, pd.neighbor_id,
+    CAST(pd.dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cosq,
+    row_number() OVER (
+      PARTITION BY pd.vec_id
+      ORDER BY CAST(pd.dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) DESC,
+               pd.neighbor_id) AS rank
+  FROM pd JOIN n na ON pd.vec_id = na.vec_id JOIN n nb ON pd.neighbor_id = nb.vec_id
 ) t WHERE rank <= 5""",
 
       "q19_media_meta" ->
