@@ -157,6 +157,27 @@ object NativeExprs {
       s"graft_rolling_fp(content, w, mask) expects 3 args, got ${args.length}")
   }
 
+  /** `graft_xxh3_64(content)` → XXH3-64 of the string's UTF-8 bytes
+   *  ([[XXHash3]] — bit-identical to canonical libxxhash; XXH3Spec). The
+   *  reference's quick-mode content hash (hash.rs:9-13). */
+  case class Xxh3Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_xxh3_64"
+    override def nullSafeEval(input: Any): Any =
+      XXHash3.hash(input.asInstanceOf[UTF8String].getBytes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.XXHash3.hash($c.getBytes());")
+    override protected def withNewChildInternal(newChild: Expression): Xxh3Expr =
+      copy(child = newChild)
+  }
+
+  val xxh3Builder: Seq[Expression] => Expression = {
+    case Seq(c) => Xxh3Expr(c)
+    case args => throw new IllegalArgumentException(
+      s"graft_xxh3_64(content) expects 1 arg, got ${args.length}")
+  }
+
   val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => LongDotExpr(a, b)
     case args => throw new IllegalArgumentException(
@@ -189,7 +210,9 @@ object NativeExprs {
     (FunctionIdentifier("graft_intersect_n"),
       new ExpressionInfo(classOf[LongIntersectExpr].getName, "graft_intersect_n"), intersectBuilder),
     (FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashExpr].getName, "graft_minhash"), minhashBuilder))
+      new ExpressionInfo(classOf[MinHashExpr].getName, "graft_minhash"), minhashBuilder),
+    (FunctionIdentifier("graft_xxh3_64"),
+      new ExpressionInfo(classOf[Xxh3Expr].getName, "graft_xxh3_64"), xxh3Builder))
 
   /** Column helpers for DataFrame code (same expressions, no SQL needed). */
   def shingleHashes(content: Column, n: Int): Column =
@@ -200,6 +223,10 @@ object NativeExprs {
     org.apache.spark.sql.GraftColumnBridge.column(
       RollingFingerprintsExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(content), w, mask))
+
+  def xxh3_64(content: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Xxh3Expr(org.apache.spark.sql.GraftColumnBridge.expression(content)))
 }
 
 /** Runtime registration on a live session (tests, notebooks). */

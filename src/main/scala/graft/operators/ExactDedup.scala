@@ -44,16 +44,26 @@ object ExactDedup {
     corpus.where(col("content").isNotNull && col("path").isNotNull && length(col("path")) > 0)
 
   /** Narrow hash projection: `(repo, path, commit, rkey, size, sha/group_id [, xxh])`.
-   *  Content is dropped here — nothing downstream shuffles it. */
-  def withHashes(corpus: DataFrame, quick: Boolean = false): DataFrame = {
+   *  Content is dropped here — nothing downstream shuffles it.
+   *
+   *  `quick` (main.rs:26-31) skips the crypto confirm; the group id is the
+   *  64-bit hash rendered as unsigned decimal (hash.rs:57-61 semantics).
+   *  `xxh3 = true` makes that 64-bit hash BIT-IDENTICAL to the reference's
+   *  `xxh3::xxh3_64(&data)` (hash.rs:9-13) via the native
+   *  [[graft.functions.XXHash3]] codegen expression — quick-mode snapshot
+   *  ids then match the reference byte-for-byte (XXH3Spec +
+   *  ExactDedupSpec). Default stays XXH64 (verifiable in-suite against
+   *  Spark's built-in `xxhash64`; sha256 remains the authoritative id). */
+  def withHashes(corpus: DataFrame, quick: Boolean = false,
+                 xxh3: Boolean = false): DataFrame = {
     val base = validRows(corpus)
       .withColumn("rkey", rkey)
       .withColumn("size", length(col("content")).cast("long"))
-      .withColumn("xxh", xxhash64(col("content")))
+      .withColumn("xxh",
+        if (xxh3) graft.functions.NativeExprs.xxh3_64(col("content"))
+        else xxhash64(col("content")))
     val hashed =
       if (quick)
-        // --quick (main.rs:26-31): skip the crypto confirm; group id is the
-        // 64-bit hash rendered as unsigned decimal (hash.rs:57-61 semantics).
         base.withColumn("group_id", conv(hex(col("xxh")), 16, 10))
       else
         base.withColumn("group_id", sha2(col("content").cast("binary"), 256))

@@ -78,6 +78,18 @@ class ExactDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("quick mode with xxh3: group ids byte-identical to reference xxh3_64 unsigned decimals (hash.rs:9-13, 57-61)") {
+    val q = ExactDedup.withHashes(corpus.toDF(), quick = true, xxh3 = true)
+      .join(corpus.toDF().select(ExactDedup.rkey.as("rkey"), col("content")), "rkey")
+      .select("group_id", "content").limit(100).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getString(0) ===
+        graft.functions.XXHash3.unsignedDecimal(
+          graft.functions.XXHash3.hashString(r.getString(1))))
+    }
+  }
+
   test("unique-content rows never appear in the snapshot (scanner.rs:96-106)") {
     val uniq = local.groupBy(f => sha256Hex(f.content)).filter(_._2.length == 1)
       .values.flatten.map(f => s"${f.repo}/${f.path}").toSet

@@ -31,25 +31,27 @@ class NativeExprSpec extends AnyFunSuite {
     assert(both.count() >= 200L) // synthetic(200) plants extra duplicate rows
   }
 
-  test("ALL five native functions are SQL-registered and evaluate (registry + extensions)") {
+  test("ALL six native functions are SQL-registered and evaluate (registry + extensions)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT graft_shingles('a b c d e f g', 5) AS s, graft_rolling_fp('" +
         ("x" * 60) + "', 48, 0) AS f, " +
         "graft_dotl(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +
         "graft_intersect_n(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS i, " +
-        "graft_minhash(graft_shingles('a b c d e f g', 5), 16) AS m").collect().head
+        "graft_minhash(graft_shingles('a b c d e f g', 5), 16) AS m, " +
+        "graft_xxh3_64('') AS x3").collect().head
     assert(r.getSeq[Long](0) === Shingles.shingleHashes("a b c d e f g", 5).toSeq)
     assert(r.getSeq[Long](1) === Substring.rollingFingerprints("x" * 60, 48, 0L).toSeq)
     assert(r.getLong(2) === (4L + 10L + 18L))
     assert(r.getLong(3) === 2L)
     assert(r.getSeq[Long](4) ===
       Shingles.minhashSignature(Shingles.shingleHashes("a b c d e f g", 5), 16).toSeq)
+    assert(r.getLong(5) === 0x2D06800538D394C2L)
     // the extension injector draws from the SAME function list — the two
     // surfaces cannot drift (round-2 finding: only 2 of 5 were registered)
     assert(graft.functions.NativeExprs.sqlFunctions.map(_._1.funcName).sorted ===
       Seq("graft_dotl", "graft_intersect_n", "graft_minhash",
-        "graft_rolling_fp", "graft_shingles"))
+        "graft_rolling_fp", "graft_shingles", "graft_xxh3_64"))
     val ext = new graft.functions.GraftExtensions
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
