@@ -105,7 +105,20 @@ object Pipeline {
       val dropsB = ctx.spark.sparkContext.longAccumulator("graft.candidates.dropped_buckets")
       val dropsR = ctx.spark.sparkContext.longAccumulator("graft.candidates.dropped_members")
       val candidates = ctx.stage("candidates") {
-        NearDup.candidateIdPairs(NearDup.bandedById(signatures, cfg), cfg,
+        // Singleton-bucket prune (SeenTwice): on a mostly-unique corpus most
+        // of the ~docs×bands band rows sit alone in their bucket and can
+        // never pair — dropping them BEFORE the exchange converts the most
+        // bandwidth-bound sort in the profile into a fraction of itself, at
+        // the price of one perfectly-parallel extra scan. Exact (see
+        // SeenTwice scaladoc + SeenTwiceSpec pair-set parity).
+        val banded = NearDup.bandedById(signatures, cfg)
+        val bandRows = signatures.count() * cfg.bands // parquet-stage metadata count
+        val pruned =
+          if (cfg.pruneSingletons && bandRows <= cfg.pruneMaxRows)
+            graft.functions.SeenTwice.prune(banded, "band_hash",
+              graft.functions.SeenTwice.autoLog2m(bandRows))
+          else banded
+        NearDup.candidateIdPairs(pruned, cfg,
           n => { dropsB.add(1L); dropsR.add(n) })
       }
       ctx.metrics.record("candidates.dropped_buckets", dropsB.value)
@@ -143,12 +156,25 @@ object Pipeline {
             deduped.select(xxhash64(col("rkey")).as("id"), col("content")),
             cfg.gramWidth, cfg.maxBucketSize, n => dropsG.add(n))
         }
-        else
+        else {
+          // Same singleton prune as the candidates stage, over the sampled
+          // gram fingerprints (the 4-thread arm's critical-path sort). Row
+          // count estimated (synthetic/code docs ≈ a few hundred–2k chars at
+          // 1/64 sampling ⇒ ~8–32 grams/doc); the estimate only moves the
+          // sketch's false-keep rate, never correctness.
+          val gramDf = uniq.select(col("id"), explode(col("grams")).as("gram"))
+          val gramRowsEst = nCorpusRows * 24
+          val gramsPruned =
+            if (cfg.pruneSingletons && gramRowsEst <= cfg.pruneMaxRows)
+              graft.functions.SeenTwice.prune(gramDf, "gram",
+                graft.functions.SeenTwice.autoLog2m(gramRowsEst))
+            else gramDf
           Substring.verifiedSubstringPairs(
-            Substring.gramPairs(uniq.select(col("id"), explode(col("grams")).as("gram")),
+            Substring.gramPairs(gramsPruned,
               cfg.minSharedGrams, cfg.maxBucketSize, n => dropsG.add(n)),
             corpusK.select(xxhash64(col("rkey")).as("rkey"), col("content")), cfg.gramWidth,
             register = Some(ctx.registerPersist))
+        }
       }
       ctx.metrics.record("substring_pairs.dropped_gram_rows", dropsG.value)
       if (dropsG.value > 0)

@@ -264,10 +264,10 @@ object SparkEntry {
       cat.readCanonical(s, base).select("rkey", "true_sha", "size", "points_to")
     }),
 
-    // Multimodal decode: REAL BMP/WAV bytes synthesized deterministically,
-    // REAL header parse in the batched decode stage; the oracle recomputes
-    // expected dimensions/durations from the generation parameters (video
-    // stays stub-decoded, marked).
+    // Multimodal decode: REAL BMP/WAV/Y4M bytes synthesized deterministically,
+    // REAL header parse in the batched decode stage for all three modalities;
+    // the oracle recomputes expected dimensions/durations from the generation
+    // parameters (video: y4m geometry from doc_id, nf frames at 25 fps).
     "q25_media_decode" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.realMediaTable(s, dir))
@@ -617,13 +617,13 @@ WHERE NOT starts_with(path, 'copy/') AND NOT starts_with(path, 'lic/')""",
   CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
   CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 31 + 1
        WHEN doc_id % 3 = 1 THEN 0
-       ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS width,
+       ELSE doc_id % 17 + 1 END AS BIGINT) AS width,
   CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 23 + 1
        WHEN doc_id % 3 = 1 THEN 0
-       ELSE ascii(substr(text, 2, 1)) END AS BIGINT) AS height,
+       ELSE doc_id % 13 + 1 END AS BIGINT) AS height,
   CAST(CASE WHEN doc_id % 3 = 0 THEN 0
        WHEN doc_id % 3 = 1 THEN (least(length(text), 4000) * 1000) // 8000
-       ELSE octet_length(CAST(text AS BLOB)) * 7 END AS BIGINT) AS duration_ms
+       ELSE (doc_id % 5 + 1) * 40 END AS BIGINT) AS duration_ms
 FROM documents""",
 
       "q24_embed_dup_pairs" ->

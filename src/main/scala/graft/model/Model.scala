@@ -97,6 +97,14 @@ case class DedupConfig(
      *  sampled path is the benchmark scale path); SuffixArraySpec proves
      *  pair-set equality on the planted fixtures. */
     substringViaSuffixArray: Boolean = false,
+    /** Prune provably-singleton LSH/gram buckets BEFORE their co-locating
+     *  exchange ([[graft.functions.SeenTwice]] bitset sketch — exact: false
+     *  positives only keep rows, never drop a pair). Skipped when the
+     *  exploded row count exceeds `pruneMaxRows`: the 2^29-bit capped
+     *  sketch saturates past it (load ≫ 1 marks every slot) and the filter
+     *  would prune nothing for two extra scans. */
+    pruneSingletons: Boolean = true,
+    pruneMaxRows: Long = 1L << 29,
     seed: Long = 42L) {
   require(minhashK == bands * rowsPerBand, "minhashK must equal bands*rowsPerBand")
 }

@@ -24,15 +24,16 @@ case class MediaFeatures(
  * `binary` columns with typed metadata, decode / feature-extract staged as
  * batched partition-level transforms.
  *
- * Image and audio are REAL codecs for container-less formats parseable on a
- * bare JVM: 24-bpp BMP ([[encodeBmp]]/[[parseBmp]]) and PCM-16 RIFF/WAVE
- * ([[encodeWav]]/[[parseWav]]) — the corpus synthesizer emits genuine format
- * bytes and the decode stage parses them (header validation included), so
- * the whole decode path is exercised end-to-end (q25's oracle recomputes
- * the expected dimensions/durations from the generation parameters). Video
- * decode remains a clearly-marked STUB (no container demuxer in this image):
- * [[stubDecode]] derives deterministic fake dimensions/features from the
- * bytes. The surrounding plumbing — binary schema, `mapPartitions` batching
+ * All three modalities are REAL codecs for container-less formats parseable
+ * on a bare JVM: 24-bpp BMP ([[encodeBmp]]/[[parseBmp]]), PCM-16 RIFF/WAVE
+ * ([[encodeWav]]/[[parseWav]]), and YUV4MPEG2 video
+ * ([[encodeY4m]]/[[parseY4m]] — round-4; the former video stub is gone) —
+ * the corpus synthesizer emits genuine format bytes and the decode stage
+ * parses them (header validation included), so the whole decode path is
+ * exercised end-to-end (q25's oracle recomputes the expected
+ * dimensions/durations from the generation parameters). [[stubDecode]]
+ * remains only as the flagged fallback for unparseable bytes. The
+ * surrounding plumbing — binary schema, `mapPartitions` batching
  * (amortizing per-batch codec/model init exactly like a Pandas-UDF batch
  * would), partition-by-modality routing, feature schema — is shared by all
  * three and tested.
@@ -101,6 +102,65 @@ object Multimodal {
     Some((rate, dataLen / 2))
   }
 
+  /** Minimal YUV4MPEG2 (.y4m) encoder — the container-less video format:
+   *  one ASCII header line, then `FRAME\n` + raw planar YUV per frame.
+   *  `C444` sampling (one byte per component per pixel, no even-dimension
+   *  constraint): frame payload = 3·w·h bytes. Real, playable format bytes
+   *  (mpv/ffmpeg open them) — video is no longer the stub modality. */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+                frames: Array[Array[Byte]]): Array[Byte] = {
+    require(frames.forall(_.length == 3 * w * h), "C444 frame = 3*w*h bytes")
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C444\n"
+      .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + frames.map(f => marker.length + f.length).sum)
+    out.put(header)
+    frames.foreach { f => out.put(marker); out.put(f) }
+    out.array()
+  }
+
+  /** Parse a y4m stream: `(width, height, fpsNum, fpsDen, nFrames)` after
+   *  validating the magic, the W/H/F tags, the colourspace (C444 or C420
+   *  family), every FRAME marker, and exact payload termination. */
+  def parseY4m(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    val nl = b.indexOf('\n'.toByte)
+    if (nl < 0) return None
+    val header = new String(b, 0, nl, "US-ASCII")
+    val toks = header.split(' ')
+    if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+    var w = -1; var h = -1; var num = -1; var den = -1
+    var cspace = "C420jpeg" // y4m default when the C tag is absent
+    try toks.drop(1).foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'F' =>
+          val Array(n, d) = t.substring(1).split(':'); num = n.toInt; den = d.toInt
+        case 'C' => cspace = t
+        case _ => () // Ip, A1:1, X… metadata: irrelevant to geometry
+      }
+    } catch { case _: RuntimeException => return None }
+    if (w <= 0 || h <= 0 || num <= 0 || den <= 0) return None
+    val frameLen =
+      if (cspace.startsWith("C444")) 3 * w * h
+      else if (cspace.startsWith("C420") && w % 2 == 0 && h % 2 == 0) w * h * 3 / 2
+      else return None
+    val marker = "FRAME".getBytes("US-ASCII")
+    var pos = nl + 1
+    var nFrames = 0
+    while (pos < b.length) {
+      if (pos + marker.length > b.length ||
+          !marker.indices.forall(i => b(pos + i) == marker(i))) return None
+      var eol = pos + marker.length // frame-level params run to the newline
+      while (eol < b.length && b(eol) != '\n'.toByte) eol += 1
+      if (eol >= b.length || eol + 1 + frameLen > b.length) return None
+      pos = eol + 1 + frameLen
+      nFrames += 1
+    }
+    if (nFrames == 0) None else Some((w, h, num, den, nFrames))
+  }
+
   /** Synthesize a media table from the documents table: text bytes stand in
    *  for encoded media; modality assigned round-robin (deterministic). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
@@ -133,8 +193,9 @@ object Multimodal {
 
   /** Synthesize a media table with REAL format bytes, deterministically from
    *  the documents table: images are genuine BMPs sized by doc_id, audio is
-   *  genuine PCM-16 WAV sampled from the text bytes, video stays an opaque
-   *  blob (stub-decoded). */
+   *  genuine PCM-16 WAV sampled from the text bytes, video is genuine
+   *  YUV4MPEG2 with geometry/frame count from doc_id and planes from the
+   *  text bytes. */
   def realMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -156,7 +217,23 @@ object Multimodal {
             var i = 0
             while (i < n) { samples(i) = (((text.charAt(i) & 0xff) - 128) << 8).toShort; i += 1 }
             encodeWav(samples, 8000)
-          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case _ =>
+            // genuine y4m: geometry + frame count from doc_id, planes from text
+            val w = (id % 17 + 1).toInt
+            val h = (id % 13 + 1).toInt
+            val nf = (id % 5 + 1).toInt
+            val frames = Array.tabulate(nf) { f =>
+              val fb = new Array[Byte](3 * w * h)
+              var i = 0
+              while (i < fb.length) {
+                fb(i) =
+                  if (text.isEmpty) 0
+                  else (text.charAt(((i * 7L + f * 13L + id) % text.length).toInt) & 0xff).toByte
+                i += 1
+              }
+              fb
+            }
+            encodeY4m(w, h, 25, 1, frames)
         }
         MediaRow(id, modality, bytes, bytes.length.toLong)
       }
@@ -182,7 +259,16 @@ object Multimodal {
         MediaFeatures(row.doc_id, row.modality, 0, 0, n.toLong * 1000L / rate, features)
       case None => stubDecode(row).copy(width = -1, height = -1)
     }
-    case _ => stubDecode(row) // video: STUB (no demuxer in this container)
+    case _ => parseY4m(row.bytes) match {
+      case Some((w, h, num, den, nFrames)) =>
+        val features = new Array[Float](8)
+        val start = row.bytes.indexOf('\n'.toByte) + 1
+        var i = start
+        while (i < row.bytes.length) { features(i % 8) += (row.bytes(i) & 0xff) / 255.0f; i += 1 }
+        MediaFeatures(row.doc_id, row.modality, w, h,
+          nFrames.toLong * 1000L * den / num, features)
+      case None => stubDecode(row).copy(width = -1, height = -1)
+    }
   }
 
   /**

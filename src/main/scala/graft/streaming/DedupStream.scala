@@ -59,8 +59,19 @@ object DedupStream {
     sb.toString
   }
 
-  /** The stateful core, usable on both a stream and a static Dataset. */
-  def dedupActions(files: DataFrame): Dataset[StreamAction] = {
+  /** The stateful core, usable on both a stream and a static Dataset.
+   *
+   *  `retentionMs > 0` arms the state-scale eviction path: each group's
+   *  keeper state carries a `ProcessingTimeTimeout` re-armed on every
+   *  arrival; a group idle past the retention window is EVICTED (state
+   *  removed in the timed-out callback), and a re-arrival after eviction
+   *  re-elects a keeper from scratch — dedup is weakened (the old keeper is
+   *  no longer found), never corrupted (every emitted action is still
+   *  internally consistent). This is what bounds state at 10⁹ distinct
+   *  contents: state = O(contents seen within the retention window), under
+   *  the RocksDB state store provider (config) — both exercised together in
+   *  DedupStreamSpec. */
+  def dedupActions(files: DataFrame, retentionMs: Long = 0L): Dataset[StreamAction] = {
     val spark = files.sparkSession
     import spark.implicits._
     val shaUdf = udf((c: String) => sha256Hex(c))
@@ -70,18 +81,27 @@ object DedupStream {
         concat(col("repo"), lit("/"), col("path")).as("rkey"),
         length(col("content")).cast("long").as("size"))
       .as[Member]
+    val timeoutConf =
+      if (retentionMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     members
       .groupByKey(_.cid)
       .flatMapGroupsWithState[KeeperState, StreamAction](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (cid: String, rows: Iterator[Member], state: GroupState[KeeperState]) =>
-          state.getOption match {
+          if (retentionMs > 0 && state.hasTimedOut) {
+            // idle past retention: evict. (Spark only invokes this for
+            // groups with NO data in the trigger, so no rows are lost.)
+            state.remove()
+            Iterator.empty
+          } else state.getOption match {
             case Some(KeeperState(keeper)) =>
               // Keeper already elected in an earlier batch: a pure streaming
               // map — NO buffering, a mega-group of late arrivals costs O(1)
               // task memory. A re-arrival of the keeper row itself (file
               // re-ingested) is a no-op `keep`, never a self-referential
               // symlink (validate/apply would reject source==target).
+              if (retentionMs > 0) state.setTimeoutDuration(retentionMs)
               rows.map(m =>
                 if (m.rkey == keeper) StreamAction(cid, m.rkey, m.size, "keep", None)
                 else StreamAction(cid, m.rkey, m.size, "symlink", Some(keeper)))
@@ -110,6 +130,7 @@ object DedupStream {
               if (buf.isEmpty) Iterator.empty
               else {
                 state.update(KeeperState(keeper))
+                if (retentionMs > 0) state.setTimeoutDuration(retentionMs)
                 val kp = keeper
                 buf.iterator.map(m =>
                   if (m.rkey == kp) StreamAction(cid, m.rkey, m.size, "keep", None)
@@ -130,19 +151,29 @@ object DedupStream {
         org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType))))
       .parquet(dir)
 
-  /** One AvailableNow micro-batch run into a durable parquet sink (the
+  /** One catch-up micro-batch run into a durable parquet sink (the
    *  memory sink cannot recover a checkpoint). Re-running with the same
    *  checkpoint after new files land processes ONLY the new files against
-   *  the retained keeper state — the incremental dedup story. */
+   *  the retained keeper state — the incremental dedup story.
+   *
+   *  Trigger choice: with `retentionMs == 0` this is `AvailableNow` (drain
+   *  everything, stop). With retention armed it is a SINGLE batch
+   *  (`Trigger.Once`): AvailableNow keeps scheduling empty micro-batches
+   *  while any group holds a pending `ProcessingTimeTimeout` (measured
+   *  here: a 2-file input ran 1000 empty batches, each paying the local-FS
+   *  commit tax, before the driver killed it) — a retention deployment runs
+   *  under a continuous `ProcessingTime` trigger where that loop IS the
+   *  intended clock; for catch-up runs one batch both drains the backlog
+   *  and fires every already-expired timeout. */
   def runAvailableNow(spark: SparkSession, dir: String, outDir: String,
-                      checkpointDir: String): Unit = {
-    val q = dedupActions(readFiles(spark, dir))
+                      checkpointDir: String, retentionMs: Long = 0L): Unit = {
+    val q = dedupActions(readFiles(spark, dir), retentionMs)
       .writeStream
       .format("parquet")
       .option("path", outDir)
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(if (retentionMs > 0) Trigger.Once() else Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }

@@ -87,6 +87,90 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(mega.filter(_.action == "symlink").forall(_.symlink_source.contains(keeper)))
   }
 
+  test("RocksDB state store + retention timeout: idle group evicted, re-arrival re-elects without corruption") {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val partKey = "spark.sql.shuffle.partitions"
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prior = spark.conf.getOption(provKey)
+    val priorParts = spark.conf.get(partKey)
+    val priorCk = spark.conf.getOption(ckKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 2 state partitions: each RocksDB instance pays a per-commit zip +
+    // rename tax (local-FS renames fork a readlink per file) — 32 instances
+    // over 3 micro-batch runs took ~20 min of pure overhead for a 5-row test
+    spark.conf.set(partKey, "2")
+    // the checksum wrapper's async upload-await deadlocks the RocksDB zip
+    // commit on this local FS (observed: one commit parked 25 min in
+    // ChecksumCheckpointFileManager.awaitResult); corruption detection is
+    // orthogonal to what this case proves (eviction + re-election semantics)
+    spark.conf.set(ckKey, "false")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dstream_rocks").toString
+      def write(rows: Seq[(String, String, String, String, String)]): Unit =
+        rows.toDF("repo", "path", "commit", "lang", "content")
+          .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+
+      // batch 1: group X elects keeper b/x (min rkey of the batch)
+      write(Seq(("b", "x", "c1", "scala", "EVICT-CONTENT"),
+                ("c", "x", "c1", "scala", "EVICT-CONTENT")))
+      DedupStream.runAvailableNow(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ckpt",
+        retentionMs = 500L)
+      val b1 = spark.read.parquet(s"$tmp/out").collect()
+      assert(b1.count(_.getAs[String]("action") == "keep") === 1)
+      assert(b1.find(_.getAs[String]("action") == "keep").get.getAs[String]("rkey") === "b/x")
+
+      // batch 2 (after the retention window): group X has NO data in this
+      // trigger and its timeout has expired -> hasTimedOut fires, state evicted
+      Thread.sleep(1500L)
+      write(Seq(("zz", "other", "c1", "scala", "UNRELATED-1")))
+      DedupStream.runAvailableNow(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ckpt",
+        retentionMs = 500L)
+
+      // batch 3: X re-arrives at a/x (sorts BEFORE the old keeper). With the
+      // state evicted this RE-ELECTS a/x as keeper ('keep'); were the state
+      // still present, the sticky keeper would force 'symlink -> b/x'.
+      write(Seq(("a", "x", "c1", "scala", "EVICT-CONTENT")))
+      DedupStream.runAvailableNow(spark, s"$tmp/in", s"$tmp/out", s"$tmp/ckpt",
+        retentionMs = 500L)
+      val all = spark.read.parquet(s"$tmp/out").collect()
+      val ax = all.filter(_.getAs[String]("rkey") == "a/x")
+      assert(ax.length === 1)
+      assert(ax.head.getAs[String]("action") === "keep",
+        "post-eviction re-arrival must re-elect, not symlink to evicted state")
+      // weakened, never corrupted: no self-symlink, every symlink names a key
+      // that was emitted as a keep at some point
+      assert(all.forall(r => r.getAs[String]("symlink_source") != r.getAs[String]("rkey")))
+      val keeps = all.filter(_.getAs[String]("action") == "keep").map(_.getAs[String]("rkey")).toSet
+      assert(all.filter(_.getAs[String]("action") == "symlink")
+        .forall(r => keeps.contains(r.getAs[String]("symlink_source"))))
+
+      // the run really used RocksDB: its state checkpoints are .zip snapshots
+      // (+ changelogs), never the HDFS store's .delta files
+      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/ckpt/state"))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var sawZip = false
+      var sawDelta = false
+      stateFiles.forEachRemaining { p =>
+        val s = p.toString
+        if (s.endsWith(".zip")) sawZip = true
+        if (s.endsWith(".delta")) sawDelta = true
+      }
+      assert(sawZip && !sawDelta)
+    } finally {
+      spark.conf.set(partKey, priorParts)
+      prior match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      priorCk match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None => spark.conf.unset(ckKey)
+      }
+    }
+  }
+
   test("keeper re-arrival in a later batch emits a no-op keep, never a self-symlink") {
     val corpus = Corpus.synthetic(spark, 120, seed = 29L).toDF()
     val tmp = java.nio.file.Files.createTempDirectory("graft_dstream2").toString

@@ -32,6 +32,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseWav(new Array[Byte](50)) === None)
   }
 
+  test("codec round-trip: y4m encode/parse recovers geometry, fps, frame count") {
+    val frames = Array.tabulate(3)(f => Array.tabulate(3 * 6 * 4)(i => (i + f).toByte))
+    val y4m = Multimodal.encodeY4m(6, 4, 30, 1, frames)
+    assert(new String(y4m.takeWhile(_ != '\n'.toByte), "US-ASCII")
+      === "YUV4MPEG2 W6 H4 F30:1 Ip A1:1 C444")
+    assert(Multimodal.parseY4m(y4m) === Some((6, 4, 30, 1, 3)))
+    // C420 stream with per-frame params and default colourspace tag omitted
+    val c420 = ("YUV4MPEG2 W4 H2 F25:1\n" + "FRAME Xtag\n").getBytes("US-ASCII") ++
+      new Array[Byte](4 * 2 * 3 / 2)
+    assert(Multimodal.parseY4m(c420) === Some((4, 2, 25, 1, 1)))
+    // corruption is rejected, never mis-parsed: bad magic, truncated payload,
+    // missing FRAME marker, zero frames, odd C420 geometry
+    assert(Multimodal.parseY4m("MPEG4YUV2 W4 H2 F25:1\n".getBytes) === None)
+    assert(Multimodal.parseY4m(y4m.dropRight(1)) === None)
+    assert(Multimodal.parseY4m(
+      ("YUV4MPEG2 W4 H2 F25:1 C444\n" + "FRAMX\n").getBytes ++ new Array[Byte](24)) === None)
+    assert(Multimodal.parseY4m("YUV4MPEG2 W4 H2 F25:1 C444\n".getBytes) === None)
+    assert(Multimodal.parseY4m("YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n".getBytes
+      ++ new Array[Byte](9)) === None)
+  }
+
   test("real media table: genuine format bytes, real decode recovers generation params") {
     val media = Multimodal.realMediaTable(spark, dir)
     val feats = Multimodal.extractFeatures(media).collect()
@@ -45,7 +66,10 @@ class MultimodalSpec extends AnyFunSuite {
         case "audio" =>
           assert(f.width === 0 && f.height === 0)
           assert(f.duration_ms >= 0L)
-        case "video" => // stub-decoded; just shape
+        case "video" => // real y4m decode recovers the generation geometry
+          assert(f.width === (f.doc_id % 17 + 1).toInt)
+          assert(f.height === (f.doc_id % 13 + 1).toInt)
+          assert(f.duration_ms === (f.doc_id % 5 + 1) * 40L) // nf frames at 25 fps
           assert(f.features.length === 8)
       }
     }
