@@ -114,7 +114,8 @@ object Pipeline {
         val banded = NearDup.bandedById(signatures, cfg)
         val bandRows = signatures.count() * cfg.bands // parquet-stage metadata count
         val pruned =
-          if (cfg.pruneSingletons && bandRows <= cfg.pruneMaxRows)
+          if (cfg.pruneSingletons && bandRows >= cfg.pruneMinRows &&
+              bandRows <= cfg.pruneMaxRows)
             graft.functions.SeenTwice.prune(banded, "band_hash",
               graft.functions.SeenTwice.autoLog2m(bandRows))
           else banded
@@ -159,13 +160,15 @@ object Pipeline {
         else {
           // Same singleton prune as the candidates stage, over the sampled
           // gram fingerprints (the 4-thread arm's critical-path sort). Row
-          // count estimated (synthetic/code docs ≈ a few hundred–2k chars at
-          // 1/64 sampling ⇒ ~8–32 grams/doc); the estimate only moves the
-          // sketch's false-keep rate, never correctness.
+          // count estimated (code-like docs ≈ 700 chars at 1/64 sampling ⇒
+          // ~10 grams/doc — measured 22.5M grams at 2.3M reps); the estimate
+          // only moves the sketch's false-keep rate, never correctness, but
+          // OVERsizing it quadruples the bitset-merge bytes for nothing.
           val gramDf = uniq.select(col("id"), explode(col("grams")).as("gram"))
-          val gramRowsEst = nCorpusRows * 24
+          val gramRowsEst = nCorpusRows * 10
           val gramsPruned =
-            if (cfg.pruneSingletons && gramRowsEst <= cfg.pruneMaxRows)
+            if (cfg.pruneSingletons && gramRowsEst >= cfg.pruneMinRows &&
+                gramRowsEst <= cfg.pruneMaxRows)
               graft.functions.SeenTwice.prune(gramDf, "gram",
                 graft.functions.SeenTwice.autoLog2m(gramRowsEst))
             else gramDf

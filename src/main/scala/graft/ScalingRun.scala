@@ -52,7 +52,11 @@ object ScalingRun {
       warmCtx.cleanup()
       val t0 = System.nanoTime()
       val ctx = graft.runtime.RunContext(spark, runDir)
-      val res = Pipeline.run(ctx, corpus)
+      // SPARK_GRAFT_PRUNE=0 disables the SeenTwice singleton prune — the
+      // A/B knob for measuring the prune under one weather window.
+      val cfg = graft.model.DedupConfig(
+        pruneSingletons = !sys.env.get("SPARK_GRAFT_PRUNE").contains("0"))
+      val res = Pipeline.run(ctx, corpus, cfg)
       require(res.clusters.count() > 0)
       val dt = (System.nanoTime() - t0) / 1e9
       ctx.cleanup()

@@ -124,6 +124,11 @@ object SeenTwice {
   def prune(df: DataFrame, colName: String, log2m: Int): DataFrame = {
     val spark = df.sparkSession
     val bits = sketch(df, colName, log2m)
+    var marked = 0L
+    var i = 0
+    while (i < bits.length) { marked += java.lang.Long.bitCount(bits(i)); i += 1 }
+    System.err.println(f"[graft.prune] $colName: $marked of ${1L << log2m} " +
+      f"slots marked >=2 (${100.0 * marked / (1L << log2m)}%.2f%%)")
     val bc = spark.sparkContext.broadcast(bits)
     df.filter(org.apache.spark.sql.GraftColumnBridge.column(
       BitsetContainsExpr(

@@ -105,6 +105,12 @@ case class DedupConfig(
      *  would prune nothing for two extra scans. */
     pruneSingletons: Boolean = true,
     pruneMaxRows: Long = 1L << 29,
+    /** Exploded-row floor below which the prune is skipped: the sketch pays
+     *  a fixed second scan of the exploded table, worth it only when the
+     *  sort it shrinks is big (measured: 158M band rows sort 34-65 s at 16
+     *  threads, pruned 14-22 s incl. sketch; 22M gram rows sort ~11 s —
+     *  the sketch's ~6 s scan tax nets negative there). */
+    pruneMinRows: Long = 1L << 26,
     seed: Long = 42L) {
   require(minhashK == bands * rowsPerBand, "minhashK must equal bands*rowsPerBand")
 }

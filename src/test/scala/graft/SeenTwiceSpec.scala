@@ -91,7 +91,7 @@ class SeenTwiceSpec extends AnyFunSuite {
     def rows(cfg: DedupConfig) =
       Pipeline.run(RunContext(spark, tmp()), corpus, cfg)
         .clusters.collect().map(_.toString).sorted.toSeq
-    assert(rows(DedupConfig(pruneSingletons = true))
+    assert(rows(DedupConfig(pruneSingletons = true, pruneMinRows = 0L))
       === rows(DedupConfig(pruneSingletons = false)))
   }
 }
