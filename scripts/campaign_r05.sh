@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-5 scaling campaign: loop single-rep protocol pairs (local[4] vs
+# local[16], SeenTwice prune ON) against one pre-materialized corpus.
+# Every invocation writes its own BENCH/RUN_<n>.md; a protocol-clean rep
+# self-records into BENCH/BEST_CLEAN.json (never regressed by dirty runs).
+# Usage: scripts/campaign_r05.sh [n_iterations] [docs]
+set -u
+cd /root/repo
+
+ITERS="${1:-12}"
+DOCS="${2:-2000000}"
+# default: the r4 campaign corpus (2,974,293 rows) if still materialized —
+# directly comparable numbers round over round
+CORPUS="${SPARK_GRAFT_CORPUS:-/dev/shm/graft_corpus}"
+
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED \
+--add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+
+export SPARK_GRAFT_BENCH_DOCS="$DOCS"
+
+# materialize the shared corpus once (ScalingRun creates it when missing)
+if [ ! -d "$CORPUS" ]; then
+  echo "[campaign] materializing $DOCS-doc corpus at $CORPUS"
+  java $OPENS -Xmx16g -XX:ActiveProcessorCount=16 -cp "$CP" \
+    -Dspark.ui.enabled=false graft.ScalingRun 16 "$CORPUS" /dev/shm/graft_camp_init \
+    > BENCH/campaign_r05_init.log 2>&1
+  rm -rf /dev/shm/graft_camp_init*
+fi
+
+export SPARK_GRAFT_CORPUS="$CORPUS"
+export SPARK_GRAFT_SCALING_ONLY=1
+export SPARK_GRAFT_BENCH_REPS=1
+export SPARK_GRAFT_PAIRS=4
+export SPARK_GRAFT_TOTAL_BUDGET_SEC="${SPARK_GRAFT_TOTAL_BUDGET_SEC:-1800}"
+
+for i in $(seq 1 "$ITERS"); do
+  echo "[campaign] iteration $i/$ITERS $(date -u +%H:%M:%S)"
+  java $OPENS -Xmx4g -cp "$CP" -Dspark.ui.enabled=false graft.Bench \
+    >> BENCH/campaign_r05.log 2>&1
+  echo "[campaign] iteration $i done; best_clean: $(cat BENCH/BEST_CLEAN.json 2>/dev/null)"
+  sleep 20
+done
+echo "[campaign] finished $ITERS iterations"

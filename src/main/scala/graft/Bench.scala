@@ -62,6 +62,43 @@ object Bench {
   private case class RunResult(seconds: Double, rows: Long, stages: Map[String, Double],
                                stealPct: Double)
 
+  // ------------------------------------------- durable best-clean record ----
+
+  /** `BENCH/BEST_CLEAN.json` — the best PROTOCOL-CLEAN scaling pair ever
+   *  measured, persisted across rounds and sessions. Updated ONLY by reps
+   *  whose both arms passed the steal+weather gates; a dirty session can
+   *  therefore never regress the published record (round-4 failure: the
+   *  driver's weather-poisoned 0.051 rep overwrote the honest campaign
+   *  document — the truth must live in a file no single run clobbers). */
+  private val bestCleanPath = Paths.get("BENCH/BEST_CLEAN.json")
+
+  /** (eff, raw json) of the standing record, if any. */
+  private def loadBestClean(): Option[(Double, String)] =
+    if (!Files.exists(bestCleanPath)) None
+    else {
+      val raw = Files.readString(bestCleanPath).trim.replaceAll("\\s+", " ")
+      """"eff"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(raw)
+        .map(m => (m.group(1).toDouble, raw))
+    }
+
+  /** Record a protocol-clean rep iff it beats the standing record. */
+  private def maybeRecordBestClean(eff: Double, nLow: Int, nHigh: Int,
+                                   tLow: Double, tHigh: Double,
+                                   stealLow: Double, stealHigh: Double,
+                                   weather: Double, docs: Long): Unit = this.synchronized {
+    val cur = loadBestClean().map(_._1).getOrElse(0.0)
+    if (eff > cur) {
+      val prune = if (sys.env.get("SPARK_GRAFT_PRUNE").contains("0")) "off" else "on"
+      val json =
+        f"""{"eff":$eff%.3f,"n_low":$nLow,"n_high":$nHigh,"t_low_sec":$tLow%.1f,"t_high_sec":$tHigh%.1f,"steal_low_pct":$stealLow%.2f,"steal_high_pct":$stealHigh%.2f,"weather":$weather%.2f,"docs":$docs,"prune":"$prune","recorded_by":"$runDocName"}"""
+      try {
+        Files.createDirectories(Paths.get("BENCH"))
+        Files.writeString(bestCleanPath, json)
+        System.err.println(s"[bench] NEW protocol-clean record: $json")
+      } catch { case _: Throwable => () }
+    }
+  }
+
   /** (stealTicks, totalTicks) from /proc/stat — hypervisor steal is the
    *  dominant noise source on this shared VM; reporting it per rep lets a
    *  reader discount polluted reps. */
@@ -78,6 +115,16 @@ object Bench {
    *  overruns it reports NOTHING (round 3). Everything time-consuming —
    *  weather waits, arm retries, extra reps, the secondary pair — is gated
    *  on fitting inside what remains of this budget. */
+  /** Per-run evidence document `BENCH/RUN_<n>.md` (first free index):
+   *  every invocation APPENDS a new numbered file instead of overwriting
+   *  `BENCH/BASELINE.md` — the curated campaign document is never clobbered
+   *  by a single (possibly weather-poisoned) run again. */
+  private lazy val runDocName: String = {
+    var n = 1
+    while (Files.exists(Paths.get(f"BENCH/RUN_$n%03d.md"))) n += 1
+    f"RUN_$n%03d.md"
+  }
+
   private val startNanos: Long = System.nanoTime()
   private val totalBudgetSec: Double =
     sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_SEC",
@@ -301,6 +348,8 @@ object Bench {
       highs: scala.collection.mutable.ArrayBuffer[RunResult] = scala.collection.mutable.ArrayBuffer(),
       lows: scala.collection.mutable.ArrayBuffer[RunResult] = scala.collection.mutable.ArrayBuffer(),
       weathers: scala.collection.mutable.ArrayBuffer[Double] = scala.collection.mutable.ArrayBuffer(),
+      weathersHigh: scala.collection.mutable.ArrayBuffer[Double] = scala.collection.mutable.ArrayBuffer(),
+      weathersLow: scala.collection.mutable.ArrayBuffer[Double] = scala.collection.mutable.ArrayBuffer(),
       attemptsHigh: scala.collection.mutable.ArrayBuffer[Int] = scala.collection.mutable.ArrayBuffer(),
       attemptsLow: scala.collection.mutable.ArrayBuffer[Int] = scala.collection.mutable.ArrayBuffer(),
       cleanFlags: scala.collection.mutable.ArrayBuffer[Boolean] = scala.collection.mutable.ArrayBuffer(),
@@ -337,6 +386,14 @@ object Bench {
     }.mkString("\n")
 
     val wx = weathers.toSeq
+    // per-rep arm table: wall/steal/weather per ARM per rep, so every run
+    // document is self-describing about its own weather (round-4 advice #7)
+    val repTable = ratios.indices.map { i =>
+      val wh = weathersHigh.lift(i).getOrElse(0.0)
+      val wl = weathersLow.lift(i).getOrElse(0.0)
+      f"| ${i + 1} | ${rawHigh(i).seconds}%.1f | ${rawHigh(i).stealPct}%.1f | $wh%.2f | ${attemptsHigh(i)} | ${rawLow(i).seconds}%.1f | ${rawLow(i).stealPct}%.1f | $wl%.2f | ${attemptsLow(i)} | ${effs(i)}%.3f | ${if (cleanFlags(i)) "CLEAN" else "dirty"} |"
+    }.mkString("\n")
+    val bestHist = loadBestClean().map(_._2)
     val md =
       f"""## Pair local[$nLow] vs local[$nHigh] ($reps reps)
          |
@@ -346,16 +403,13 @@ object Bench {
          |the probe rate is ≥ ${weatherMin}%.2f of the session-best — co-tenant
          |memory-system contention on this VM inflates identical runs up to 3×
          |while showing only 1-2%% steal, so steal alone under-filters. Reps
-         |with both arms protocol-clean: $cleanReps/$reps. Attempts per rep
-         |(high arm): ${attemptsHigh.mkString(", ")}; (low arm): ${attemptsLow.mkString(", ")}.
-         |Per-rep weather index (min of both arms):
-         |${wx.map(w => f"$w%.2f").mkString(", ")}.
+         |with both arms protocol-clean: $cleanReps/$reps.
+         |${if (cleanReps == 0) "**NO PROTOCOL-CLEAN REP THIS RUN — the efficiency below measures the weather, not the job.** The standing protocol-clean record lives in BENCH/BEST_CLEAN.json" + bestHist.map(h => s": `$h`").getOrElse(".") else ""}
          |
-         |Raw samples (s): local[$nHigh] = ${rawHigh.map(r => f"${r.seconds}%.1f").mkString(", ")};
-         |local[$nLow] = ${rawLow.map(r => f"${r.seconds}%.1f").mkString(", ")}.
-         |Hypervisor steal during each rep (pct of all 32 vCPUs):
-         |local[$nHigh] = ${rawHigh.map(r => f"${r.stealPct}%.1f").mkString(", ")};
-         |local[$nLow] = ${rawLow.map(r => f"${r.stealPct}%.1f").mkString(", ")}.
+         || rep | t[$nHigh] s | steal %% | weather | tries | t[$nLow] s | steal %% | weather | tries | eff | verdict |
+         ||---|---|---|---|---|---|---|---|---|---|---|
+         |$repTable
+         |
          |Per-rep efficiencies: ${effs.map(e => f"$e%.3f").mkString(", ")}
          |(median ${eff}%.3f, min ${effs.min}%.3f, max ${effs.max}%.3f).
          |Cleanest pair (lowest combined steal, ${cleanSteal}%.1f%%): efficiency
@@ -386,8 +440,15 @@ object Bench {
     // attempts arrays replace the former hardcoded "reps_discarded":0 —
     // the protocol retries ARMS, it never discards whole reps, so the JSON
     // now reports exactly what ran: attempts per arm per rep + clean flags.
+    // protocol_clean + best_clean_historic (round-4 advice): a consumer no
+    // longer needs to cross-check reps_all_clean against the steal cap to
+    // know whether `efficiency` measured the job or the weather, and the
+    // standing clean record travels with EVERY emission.
+    val protocolClean = cleanReps > 0
+    val effCleanProtocol =
+      if (protocolClean) f"${median(effs.zip(cleanFlags).filter(_._2).map(_._1))}%.3f" else "null"
     val json =
-      f"""{"docs":$n,"n_low":$nLow,"n_high":$nHigh,"reps":$reps,"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"fps_low":$fpsLow%.1f,"fps_high":$fpsHigh%.1f,"efficiency":$eff%.3f,"eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"eff_clean_pair":$effClean%.3f,"clean_pair_steal_pct":$cleanSteal%.2f,"steal_cap_pct":$stealCap%.1f,"weather_min":$weatherMin%.2f,"weather_per_rep":[${wx.map(w => f"$w%.2f").mkString(",")}],"reps_all_clean":$cleanReps,"attempts_high":[${attemptsHigh.mkString(",")}],"attempts_low":[${attemptsLow.mkString(",")}],"ceiling_compute":$ceilCompute%.3f,"ceiling_cache_random":$ceilRandom%.3f,"eff_of_compute_ceiling":$effOfCeiling%.3f,"eff_of_random_ceiling":${if (ceilRandom > 0) eff / ceilRandom else 0.0}%.3f,"t_high_all":[${rawHigh.map(r => f"${r.seconds}%.1f").mkString(",")}],"t_low_all":[${rawLow.map(r => f"${r.seconds}%.1f").mkString(",")}]}"""
+      f"""{"docs":$n,"n_low":$nLow,"n_high":$nHigh,"reps":$reps,"protocol_clean":$protocolClean,"eff_clean_protocol":$effCleanProtocol,"best_clean_historic":${bestHist.getOrElse("null")},"t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"fps_low":$fpsLow%.1f,"fps_high":$fpsHigh%.1f,"efficiency":$eff%.3f,"eff_min":${effs.min}%.3f,"eff_max":${effs.max}%.3f,"eff_clean_pair":$effClean%.3f,"clean_pair_steal_pct":$cleanSteal%.2f,"steal_cap_pct":$stealCap%.1f,"weather_min":$weatherMin%.2f,"weather_per_rep":[${wx.map(w => f"$w%.2f").mkString(",")}],"reps_all_clean":$cleanReps,"attempts_high":[${attemptsHigh.mkString(",")}],"attempts_low":[${attemptsLow.mkString(",")}],"ceiling_compute":$ceilCompute%.3f,"ceiling_cache_random":$ceilRandom%.3f,"eff_of_compute_ceiling":$effOfCeiling%.3f,"eff_of_random_ceiling":${if (ceilRandom > 0) eff / ceilRandom else 0.0}%.3f,"t_high_all":[${rawHigh.map(r => f"${r.seconds}%.1f").mkString(",")}],"t_low_all":[${rawLow.map(r => f"${r.seconds}%.1f").mkString(",")}]}"""
     (md, json)
   }
 
@@ -413,8 +474,12 @@ object Bench {
       val (b, wB, okB, atB) = cleanArm(nLow, corpusPath, s"$work/run$nLow-$r", stealCap, weatherMin)
       st.n = a.rows
       st.highs += a; st.lows += b; st.weathers += math.min(wA, wB)
+      st.weathersHigh += wA; st.weathersLow += wB
       st.attemptsHigh += atA; st.attemptsLow += atB
       st.cleanFlags += (okA && okB)
+      if (okA && okB)
+        maybeRecordBestClean(b.seconds / a.seconds / 4.0, nLow, nHigh,
+          b.seconds, a.seconds, b.stealPct, a.stealPct, math.min(wA, wB), a.rows)
       System.err.println(f"[bench] pair ${nLow}v$nHigh rep $r: t$nHigh=${a.seconds}%.1f s t$nLow=${b.seconds}%.1f s ratio=${b.seconds / a.seconds}%.2f weather=${math.min(wA, wB)}%.2f ${if (okA && okB) "CLEAN" else "DIRTY(best-effort)"}")
       onUpdate(renderPair(st))
     }
@@ -536,38 +601,41 @@ object Bench {
     // are counted); secondary local[8] vs local[32] only if budget remains —
     // the 32-arm saturates the guest and mostly measures throttling.
     var sections = Vector.empty[(String, String)]
-    def writeBaseline(): Unit = {
-      val baseline =
-        s"""# BENCH/BASELINE — measured scaling evidence
+    // ONE numbered run document per invocation — BENCH/BASELINE.md (the
+    // curated campaign narrative + the standing record) is NEVER written by
+    // a run: round 4's driver run overwrote the honest campaign doc with a
+    // single weather-poisoned rep. The durable record is BEST_CLEAN.json,
+    // updated only by protocol-clean reps (see maybeRecordBestClean).
+    def writeRunDoc(): Unit = {
+      val prune = if (sys.env.get("SPARK_GRAFT_PRUNE").contains("0")) "OFF" else "ON"
+      val doc =
+        s"""# BENCH/$runDocName — one bench invocation's scaling evidence
            |
            |Workload: full checkpointed dedup pipeline (exact sha256 snapshot +
            |MinHash/LSH near-dup + verified substring fingerprints + connected-
            |components clusters) over a deterministic synthetic corpus, same
            |input at both parallelism levels of each pair (driver rule: no real
-           |cluster — local[N] vs local[4N] stands in for N vs 4N executors;
-           |measured at N=4 and, budget permitting, the driver-named N=8).
+           |cluster — local[N] vs local[4N] stands in for N vs 4N executors).
+           |SeenTwice singleton prune: $prune.
            |
-           |Methodology (per round-1 advice): PAIRED alternating reps,
-           |one fresh child JVM per run (clean JIT/GC state); efficiency =
-           |median over reps of (t_low_i / t_high_i) / 4 — paired ratios, not
-           |per-arm minima, because identical runs on this shared VM swing with
-           |co-tenant bursts. Dispersion and per-rep hypervisor steal are
-           |reported per pair. Hardware scaling ceilings are measured in-run:
-           |no job can scale past what the VM's shared memory system delivers
-           |to plain threaded code. Local mode additionally shares ONE memory
-           |system across both arms, where a real 4N cluster brings 4x L3/DRAM
-           |alongside 4x cores — the local measurement structurally understates
-           |cluster scaling for every cache/bandwidth-bound stage. Event-log
-           |profile + fix list: BENCH/PROFILE_r03.md (clean-weather task-time
-           |inflation 4→16 threads measured at 1.34x — the shared-memory bound
-           |that caps any 4→16 job efficiency near 0.75·utilization here).
-           |The corpus is sized by an in-run calibration arm so the evidence
-           |lands inside the harness budget on machines slower than the one
-           |the defaults were tuned on (round-3 lesson).
+           |This file records ONE invocation, protocol verdicts included — a
+           |dirty-weather run documents the weather, not the job. The curated
+           |cross-session narrative lives in BENCH/BASELINE.md; the standing
+           |protocol-clean record (updated only by reps whose BOTH arms pass
+           |the steal+weather gates) lives in BENCH/BEST_CLEAN.json.
+           |
+           |Methodology: PAIRED alternating reps, one fresh child JVM per run
+           |(clean JIT/GC state); efficiency = median over reps of
+           |(t_low_i / t_high_i) / 4 — paired ratios, not per-arm minima.
+           |Per-rep, per-arm wall/steal/weather are in each pair's table.
+           |Hardware scaling ceilings are measured in-run: no job can scale
+           |past what the VM's shared memory system delivers to plain threaded
+           |code, and local mode shares ONE memory system across both arms
+           |where a real 4N cluster brings 4x L3/DRAM alongside 4x cores.
            |
            |${sections.map(_._1).mkString("\n")}""".stripMargin
       Files.createDirectories(Paths.get("BENCH"))
-      Files.writeString(Paths.get("BENCH/BASELINE.md"), baseline)
+      Files.writeString(Paths.get(s"BENCH/$runDocName"), doc)
     }
 
     pairs.zipWithIndex.foreach { case (nLow, i) =>
@@ -581,7 +649,7 @@ object Bench {
           else sections = sections.updated(slot, rendered)
           if (isPrimary) scalingJson = Some(rendered._2)
           else secondaryJson = Some(rendered._2)
-          writeBaseline()
+          writeRunDoc()
           emit()
         })
       } else {
