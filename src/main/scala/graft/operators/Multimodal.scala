@@ -10,7 +10,7 @@ case class MediaRow(
     bytes: Array[Byte],
     n_bytes: Long)
 
-/** Stub "decoded" features — deterministic stand-in for a real decoder. */
+/** Decoded media features (quarantine rows carry −1 dimensions). */
 case class MediaFeatures(
     doc_id: Long,
     modality: String,
@@ -27,12 +27,12 @@ case class MediaFeatures(
  * All three modalities are REAL codecs for container-less formats parseable
  * on a bare JVM: 24-bpp BMP ([[encodeBmp]]/[[parseBmp]]), PCM-16 RIFF/WAVE
  * ([[encodeWav]]/[[parseWav]]), and YUV4MPEG2 video
- * ([[encodeY4m]]/[[parseY4m]] — round-4; the former video stub is gone) —
+ * ([[encodeY4m]]/[[parseY4m]] — round-4) —
  * the corpus synthesizer emits genuine format bytes and the decode stage
  * parses them (header validation included), so the whole decode path is
  * exercised end-to-end (q25's oracle recomputes the expected
- * dimensions/durations from the generation parameters). [[stubDecode]]
- * remains only as the flagged fallback for unparseable bytes. The
+ * dimensions/durations from the generation parameters). Bytes no codec
+ * accepts are flagged as quarantine rows (width/height/duration −1). The
  * surrounding plumbing — binary schema, `mapPartitions` batching
  * (amortizing per-batch codec/model init exactly like a Pandas-UDF batch
  * would), partition-by-modality routing, feature schema — is shared by all
@@ -106,7 +106,7 @@ object Multimodal {
    *  one ASCII header line, then `FRAME\n` + raw planar YUV per frame.
    *  `C444` sampling (one byte per component per pixel, no even-dimension
    *  constraint): frame payload = 3·w·h bytes. Real, playable format bytes
-   *  (mpv/ffmpeg open them) — video is no longer the stub modality. */
+   *  (mpv/ffmpeg open them). */
   def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
                 frames: Array[Array[Byte]]): Array[Byte] = {
     require(frames.forall(_.length == 3 * w * h), "C444 frame = 3*w*h bytes")
@@ -152,6 +152,13 @@ object Multimodal {
     while (pos < b.length) {
       if (pos + marker.length > b.length ||
           !marker.indices.forall(i => b(pos + i) == marker(i))) return None
+      // the y4m spec requires frame params to START WITH A SPACE: the byte
+      // after FRAME must be '\n' (no params) or ' ' — 'FRAMEX…' is malformed,
+      // not a parameter list (round-4 ADVICE: lenient scan accepted it)
+      if (pos + marker.length < b.length) {
+        val next = b(pos + marker.length)
+        if (next != '\n'.toByte && next != ' '.toByte) return None
+      }
       var eol = pos + marker.length // frame-level params run to the newline
       while (eol < b.length && b(eol) != '\n'.toByte) eol += 1
       if (eol >= b.length || eol + 1 + frameLen > b.length) return None
@@ -175,21 +182,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder — deterministic fake decode; replace with a real codec.
-   *  Derives "dimensions" from the first bytes and a fixed-length feature
-   *  vector from a rolling byte aggregate. */
-  def stubDecode(row: MediaRow): MediaFeatures = {
-    val b = row.bytes
-    val width = if (b.length > 0) (b(0) & 0xff) else 0
-    val height = if (b.length > 1) (b(1) & 0xff) else 0
-    val features = new Array[Float](8)
-    var i = 0
-    while (i < b.length) {
-      features(i % 8) += (b(i) & 0xff) / 255.0f
-      i += 1
-    }
-    MediaFeatures(row.doc_id, row.modality, width, height, row.n_bytes * 7L, features)
-  }
+  /** Quarantine row for bytes no codec accepts: width/height/duration all
+   *  −1, empty features — a real pipeline routes these to a quarantine sink
+   *  rather than inventing fake dimensions from raw bytes. */
+  private def quarantined(row: MediaRow): MediaFeatures =
+    MediaFeatures(row.doc_id, row.modality, -1, -1, -1L, Array.fill(8)(0.0f))
 
   /** Synthesize a media table with REAL format bytes, deterministically from
    *  the documents table: images are genuine BMPs sized by doc_id, audio is
@@ -239,9 +236,9 @@ object Multimodal {
       }
   }
 
-  /** Decode dispatch: REAL parse for image (BMP) and audio (WAV); video falls
-   *  back to the marked stub. Unparseable bytes also fall back (flagged by
-   *  width = -1 … a real pipeline would route them to a quarantine sink). */
+  /** Decode dispatch: REAL parse for all three modalities (BMP / WAV / y4m);
+   *  unparseable bytes become quarantine rows (width = −1 — a real pipeline
+   *  routes them to a quarantine sink). */
   def decode(row: MediaRow): MediaFeatures = row.modality match {
     case "image" => parseBmp(row.bytes) match {
       case Some((w, h)) =>
@@ -249,7 +246,7 @@ object Multimodal {
         var i = 54
         while (i < row.bytes.length) { features(i % 8) += (row.bytes(i) & 0xff) / 255.0f; i += 1 }
         MediaFeatures(row.doc_id, row.modality, w, h, 0L, features)
-      case None => stubDecode(row).copy(width = -1, height = -1)
+      case None => quarantined(row)
     }
     case "audio" => parseWav(row.bytes) match {
       case Some((rate, n)) =>
@@ -257,7 +254,7 @@ object Multimodal {
         var i = 44
         while (i < row.bytes.length) { features(i % 8) += (row.bytes(i) & 0xff) / 255.0f; i += 1 }
         MediaFeatures(row.doc_id, row.modality, 0, 0, n.toLong * 1000L / rate, features)
-      case None => stubDecode(row).copy(width = -1, height = -1)
+      case None => quarantined(row)
     }
     case _ => parseY4m(row.bytes) match {
       case Some((w, h, num, den, nFrames)) =>
@@ -267,7 +264,7 @@ object Multimodal {
         while (i < row.bytes.length) { features(i % 8) += (row.bytes(i) & 0xff) / 255.0f; i += 1 }
         MediaFeatures(row.doc_id, row.modality, w, h,
           nFrames.toLong * 1000L * den / num, features)
-      case None => stubDecode(row).copy(width = -1, height = -1)
+      case None => quarantined(row)
     }
   }
 
@@ -287,8 +284,9 @@ object Multimodal {
       }
   }
 
-  /** Metadata projection (oracle-checkable): byte counts + stub dimensions
-   *  straight from expressions — the cheap path that never decodes. */
+  /** Metadata projection (oracle-checkable): byte counts + leading-byte
+   *  pseudo-dimensions straight from expressions — the cheap catalog-stats
+   *  path that never decodes (q19's declared metadata contract). */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),

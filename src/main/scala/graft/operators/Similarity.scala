@@ -134,7 +134,7 @@ object Similarity {
   private def qCol: Column =
     transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
 
-  private def dimsOf(embeddings: DataFrame): Int =
+  private[graft] def dimsOf(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding"))).take(1).headOption.map(_.getInt(0)).getOrElse(1)
 
   /** Sign-bit sketch UDF over the QUANTIZED vector: for each of `tables`, a
@@ -173,8 +173,12 @@ object Similarity {
    *  (Lv et al., VLDB'07 multi-probe LSH) — `(bits + 1) · tables` probe rows
    *  per vector, recovering the recall that higher `bits` (smaller buckets)
    *  would otherwise cost. */
-  def annProbes(embeddings: DataFrame, tables: Int = 16, bits: Int = 8): DataFrame = {
-    val dims = dimsOf(embeddings)
+  def annProbes(embeddings: DataFrame, tables: Int = 16, bits: Int = 8,
+                dims0: Int = 0): DataFrame = {
+    // `dims0 > 0` pins the plane table to the BUILD corpus' dimensionality
+    // (stored-index path — the query batch must sketch with the same planes
+    // the index was built with, not planes re-derived from itself)
+    val dims = if (dims0 > 0) dims0 else dimsOf(embeddings)
     val planes = planesFor(tables, bits, dims)
     val probesUdf = udf((v: Seq[Long]) => {
       val base = new Array[Long](tables)
@@ -263,7 +267,8 @@ object Similarity {
    *  match the values the index was built with (the store records them). */
   def annTopKFromIndex(embeddings: DataFrame, idx: DataFrame, k: Int,
                        tables: Int, bits: Int, maxBucketSize: Int = 4096,
-                       onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+                       onDrop: (Long, Long) => Unit = (_, _) => (),
+                       dims0: Int = 0): DataFrame = {
     // Hot-bucket accounting: COLLECT the over-cap set (tiny — ≤ n/cap rows,
     // ≈244k at 10⁹ vectors/cap 4096) in ONE action, report the drops from
     // it, and re-broadcast it as a local table — the alternative (a count
@@ -279,7 +284,7 @@ object Similarity {
         .toDF("table", "bucket"))
     val idxOk = idx.join(hot, Seq("table", "bucket"), "left_anti")
       .repartition(col("table"), col("bucket"))
-    val probes = annProbes(embeddings, tables, bits)
+    val probes = annProbes(embeddings, tables, bits, dims0)
       .join(hot, Seq("table", "bucket"), "left_anti")
     val cand = probes.as("a").join(idxOk.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

@@ -16,7 +16,7 @@ import graft.sources.CatalogIO
  *
  * Tables per logical index `base`:
  *  - `<base>_ann_idx`  : (vec_id, table, bucket)      — hyperplane-LSH index
- *  - `<base>_ann_meta` : (tables, bits)               — build parameters
+ *  - `<base>_ann_meta` : (tables, bits, dims)         — build parameters
  *  - `<base>_ivf_idx`  : (vec_id, cell)               — IVF assignment
  *  - `<base>_ivf_cent` : (cell, pos, cv)              — IVF centroids (long)
  *
@@ -32,20 +32,37 @@ object SimilarityIndexStore {
                embeddings: DataFrame, tables: Int = 16, bits: Int = 0,
                maxBucketSize: Int = 4096): Long = {
     val b = if (bits > 0) bits else Similarity.autoBits(embeddings.count(), maxBucketSize)
+    // dims are a BUILD property: the stored plane table is a function of
+    // (tables, bits, dims), so queries must sketch with the build corpus'
+    // dimensionality — recorded here, asserted at query time (round-4
+    // ADVICE: re-deriving dims from the query batch silently sketched
+    // mismatched-dims queries against different planes)
+    val dims = Similarity.dimsOf(embeddings)
     import spark.implicits._
-    catalog.writeVersion(spark, s"${base}_ann_meta", Seq((tables, b)).toDF("tables", "bits"))
+    catalog.writeVersion(spark, s"${base}_ann_meta",
+      Seq((tables, b, dims)).toDF("tables", "bits", "dims"))
     catalog.writeVersion(spark, s"${base}_ann_idx", Similarity.annIndex(embeddings, tables, b))
   }
 
   /** ANN top-k through the STORED index — row-identical to
-   *  `Similarity.annTopK` with the same parameters (IndexStoreSpec). */
+   *  `Similarity.annTopK` with the same parameters (IndexStoreSpec).
+   *  A non-empty query batch whose vector dimensionality differs from the
+   *  build corpus is an ERROR (its sketch would use a different plane
+   *  table and recall would silently collapse). */
   def annTopK(spark: SparkSession, catalog: CatalogIO, base: String,
               queries: DataFrame, k: Int = 5, maxBucketSize: Int = 4096,
               onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     val meta = catalog.readCanonical(spark, s"${base}_ann_meta").head()
+    val dims = meta.getAs[Int]("dims")
+    if (!queries.isEmpty) {
+      val qDims = Similarity.dimsOf(queries)
+      require(qDims == dims,
+        s"query vectors have $qDims dims but index '$base' was built over $dims-dim vectors")
+    }
     val idx = catalog.readCanonical(spark, s"${base}_ann_idx")
     Similarity.annTopKFromIndex(queries, idx, k,
-      meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), maxBucketSize, onDrop)
+      meta.getAs[Int]("tables"), meta.getAs[Int]("bits"), maxBucketSize, onDrop,
+      dims0 = dims)
   }
 
   /** Build + persist the IVF index (centroids + assignments); returns the

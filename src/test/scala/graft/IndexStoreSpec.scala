@@ -62,4 +62,27 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rows(cat.readVersion(spark, s"${base}_ann_idx", v1)) === idxV1)
     Seq("_ann_meta", "_ann_idx").foreach(s => cat.dropAll(spark, base + s))
   }
+
+  test("stored ANN meta records build dims; a mismatched-dims query batch is rejected") {
+    import org.apache.spark.sql.functions._
+    val base = "graft_spec_anndims"
+    Seq("_ann_meta", "_ann_idx").foreach(s => cat.dropAll(spark, base + s))
+    SimilarityIndexStore.buildAnn(spark, cat, base, embeddings)
+    // dims are a BUILD property recorded in the meta row (round-4 ADVICE:
+    // re-deriving them from the query batch silently used different planes)
+    val meta = cat.readCanonical(spark, s"${base}_ann_meta").head()
+    assert(meta.getAs[Int]("dims") === Similarity.dimsOf(embeddings))
+    // query vectors of a DIFFERENT dimensionality must error, not sketch
+    // against a mismatched plane table with silently collapsed recall
+    val qBad = embeddings.select(col("vec_id"), slice(col("embedding"), 1, 3).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityIndexStore.annTopK(spark, cat, base, qBad).collect()
+    }
+    assert(e.getMessage.contains("dims"))
+    // an EMPTY query batch is fine (no dims to check) and returns no rows
+    val none = SimilarityIndexStore.annTopK(spark, cat, base,
+      embeddings.where(lit(false)))
+    assert(none.isEmpty)
+    Seq("_ann_meta", "_ann_idx").foreach(s => cat.dropAll(spark, base + s))
+  }
 }

@@ -75,11 +75,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("unparseable media falls back to the flagged stub (width = -1)") {
+  test("unparseable media becomes a quarantine row (width = -1)") {
     // image-modality row with non-BMP bytes must be flagged, not mis-decoded
     val bad = MediaRow(0L, "image", "junk bytes".getBytes, 10L)
     val f = Multimodal.decode(bad)
-    assert(f.width === -1 && f.height === -1)
+    assert(f.width === -1 && f.height === -1 && f.duration_ms === -1L)
+  }
+
+  test("y4m frame params must start with a space: FRAMEX is malformed, FRAME X is fine") {
+    val hdr = "YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+    val payload = Array.fill(12)(1.toByte) // C444: 3*2*2
+    // the y4m spec: frame-level params start with ' '; a bare marker ends
+    // with '\n'. 'FRAMEX…' is a corrupt stream, not a parameter list.
+    val bad = hdr ++ "FRAMEX\n".getBytes("US-ASCII") ++ payload
+    assert(Multimodal.parseY4m(bad).isEmpty)
+    val withParams = hdr ++ "FRAME Xfoo\n".getBytes("US-ASCII") ++ payload
+    assert(Multimodal.parseY4m(withParams).contains((2, 2, 25, 1, 1)))
+    val bare = hdr ++ "FRAME\n".getBytes("US-ASCII") ++ payload
+    assert(Multimodal.parseY4m(bare).contains((2, 2, 25, 1, 1)))
   }
 
   test("feature schema is fixed-length float8 regardless of media size") {
