@@ -13,7 +13,9 @@ DOCS="${2:-2000000}"
 # directly comparable numbers round over round
 CORPUS="${SPARK_GRAFT_CORPUS:-/dev/shm/graft_corpus}"
 
-CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+# SPARK_GRAFT_BENCH_CLASSES pins the classes dir (e.g. a frozen copy), so
+# concurrent sbt compiles cannot change the code a running campaign measures
+CP="${SPARK_GRAFT_BENCH_CLASSES:-target/scala-2.13/classes}:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
 --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED \
 --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED \
