@@ -220,8 +220,19 @@ object Clustering {
    * partition and rep_key as the star-edge formulation; only the opaque
    * cluster_id labels differ.
    */
+  /** Row bound for the singleton-bypass broadcast gate. The component table
+   *  is 16-byte long pairs (64 MB at the default bound); the STRING-keyed
+   *  sides (keeper mapping, keeper set) get a QUARTER of the row budget
+   *  (~100 B/row keys ⇒ ~100 MB broadcast worst-case — the same
+   *  big-executor budget class as the sharded prune sketch). Past either
+   *  gate the dense shuffle formulation below runs instead — identical
+   *  output. */
+  val DefaultClusterBroadcastMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_CLUSTER_BC_ROWS").map(_.toLong).getOrElse(4000000L)
+
   def clusterTableCollapsed(members: DataFrame, baseRep: DataFrame,
-                            repPairs: DataFrame): DataFrame = {
+                            repPairs: DataFrame,
+                            broadcastMaxRows: Long = DefaultClusterBroadcastMaxRows): DataFrame = {
     // Pair columns may arrive as row-key strings (hashed to node ids here)
     // or already as 64-bit node ids (the pipeline's narrow interior form —
     // xxhash64(rkey) by construction, so both spellings label identically).
@@ -233,18 +244,68 @@ object Clustering {
         xxhash64(col(repPairs.columns(0))).as("src"),
         xxhash64(col(repPairs.columns(1))).as("dst"))
     }
+    // Multi-member components arise from exactly two sources: exact-dup
+    // groups (a NON-TRIVIAL keeper mapping row, or BEING a keeper) and
+    // similarity pairs (a cc row). Every other row is a singleton cluster —
+    // on a mostly-unique corpus the large majority — whose label, rep and
+    // action are its own: it never needs the rep aggregation or the join
+    // back. Trivial `rep0 == rkey` mapping rows are dropped up front (the
+    // left_outer + coalesce below reconstructs them exactly).
+    val baseRepNT = baseRep.where(col("rep0") =!= col("rkey"))
+    val nMap = baseRepNT.count()
+    // cc rows = distinct pair nodes ≤ 2 × pair rows: gate on the CHEAP
+    // count (pairs are materialized stages) instead of counting cc itself,
+    // which on the star-round path would re-execute its final aggregation
+    // only to learn it is too big.
+    val nCcUpper = 2L * repPairs.count()
     val cc = connectedComponents(edges)
-    val labeled = members
-      .join(baseRep, Seq("rkey"), "left_outer")
-      .withColumn("rep0", coalesce(col("rep0"), col("rkey")))
-      .withColumn("node", xxhash64(col("rep0")))
-      .join(cc, Seq("node"), "left_outer")
-      .withColumn("component", coalesce(col("component"), col("node")))
-    val reps = labeled.groupBy("component").agg(min(col("rkey")).as("rep_key"))
-    labeled.join(reps, "component")
-      .withColumn("action", when(col("rkey") === col("rep_key"), lit("keep")).otherwise(lit("symlink")))
-      .select(col("rkey"), col("repo"), col("path"), col("commit"),
-        col("component").as("cluster_id"), col("rep_key"), col("action"))
+    if (nMap <= broadcastMaxRows / 4 && nCcUpper <= broadcastMaxRows) {
+      // Singleton-bypass formulation: all three lookup sides broadcast, so
+      // `labeled` stays IN THE SCAN STAGE (zero exchange); only the bounded
+      // "involved" subset (exact-group members + keepers + pair nodes) pays
+      // the rep aggregation and join-back, and singleton rows flow scan →
+      // output untouched. Identical rows to the dense path (spec-asserted).
+      val keepers = baseRepNT.select(col("rep0").as("rkey")).distinct()
+        .withColumn("is_keeper", lit(true))
+      val labeled = members
+        .join(broadcast(baseRepNT), Seq("rkey"), "left_outer")
+        .join(broadcast(keepers), Seq("rkey"), "left_outer")
+        .withColumn("rep0", coalesce(col("rep0"), col("rkey")))
+        .withColumn("node", xxhash64(col("rep0")))
+        .join(broadcast(cc), Seq("node"), "left_outer")
+      // rep0/rkey are never null and the isNotNull tests are two-valued, so
+      // `inv` is a real boolean — `!inv` below cannot swallow rows.
+      val inv = col("component").isNotNull ||
+        col("rep0") =!= col("rkey") || col("is_keeper").isNotNull
+      val involved = labeled.where(inv)
+        .withColumn("component", coalesce(col("component"), col("node")))
+      val reps = involved.groupBy("component").agg(min(col("rkey")).as("rep_key"))
+      val multi = involved.join(reps, "component")
+        .withColumn("action",
+          when(col("rkey") === col("rep_key"), lit("keep")).otherwise(lit("symlink")))
+        .select(col("rkey"), col("repo"), col("path"), col("commit"),
+          col("component").as("cluster_id"), col("rep_key"), col("action"))
+      val singles = labeled.where(!inv)
+        .select(col("rkey"), col("repo"), col("path"), col("commit"),
+          col("node").as("cluster_id"), col("rkey").as("rep_key"),
+          lit("keep").as("action"))
+      multi.union(singles)
+    } else {
+      // Dense formulation (the at-scale fallback): mapping or component
+      // table past the broadcast budget — shuffle joins over the full
+      // member table, AQE handling skew.
+      val labeled = members
+        .join(baseRepNT, Seq("rkey"), "left_outer")
+        .withColumn("rep0", coalesce(col("rep0"), col("rkey")))
+        .withColumn("node", xxhash64(col("rep0")))
+        .join(cc, Seq("node"), "left_outer")
+        .withColumn("component", coalesce(col("component"), col("node")))
+      val reps = labeled.groupBy("component").agg(min(col("rkey")).as("rep_key"))
+      labeled.join(reps, "component")
+        .withColumn("action", when(col("rkey") === col("rep_key"), lit("keep")).otherwise(lit("symlink")))
+        .select(col("rkey"), col("repo"), col("path"), col("commit"),
+          col("component").as("cluster_id"), col("rep_key"), col("action"))
+    }
   }
 
   def clusterTable(members: DataFrame, pairs: DataFrame): DataFrame = {
