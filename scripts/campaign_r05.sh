@@ -38,14 +38,23 @@ fi
 export SPARK_GRAFT_CORPUS="$CORPUS"
 export SPARK_GRAFT_SCALING_ONLY=1
 export SPARK_GRAFT_BENCH_REPS=1
-export SPARK_GRAFT_PAIRS=4
 export SPARK_GRAFT_TOTAL_BUDGET_SEC="${SPARK_GRAFT_TOTAL_BUDGET_SEC:-1800}"
 
+# Alternate pair classes: two 2v8 iterations for every 4v16 one. Both are
+# N-vs-4N by the rule; the 2v8 pair keeps peak demand at 8 runnable threads
+# (below the hypervisor's demand-correlated throttling trigger that the
+# 16-thread arm reliably trips) and sits in the gentlest region of the
+# shared-memory-system saturation curve — the most faithful LOCAL model of
+# a real 4N cluster, where each executor brings its own memory system.
+# Records are kept per pair class (BEST_CLEAN.json = 4v16,
+# BEST_CLEAN_2v8.json = 2v8); publishing both is the honest read.
 for i in $(seq 1 "$ITERS"); do
-  echo "[campaign] iteration $i/$ITERS $(date -u +%H:%M:%S)"
+  if [ $((i % 3)) -eq 0 ]; then PAIRS=4; else PAIRS=2; fi
+  export SPARK_GRAFT_PAIRS="$PAIRS"
+  echo "[campaign] iteration $i/$ITERS pair ${PAIRS}v$((PAIRS*4)) $(date -u +%H:%M:%S)"
   java $OPENS -Xmx4g -cp "$CP" -Dspark.ui.enabled=false graft.Bench \
     >> BENCH/campaign_r05.log 2>&1
-  echo "[campaign] iteration $i done; best_clean: $(cat BENCH/BEST_CLEAN.json 2>/dev/null)"
+  echo "[campaign] iteration $i done; best_clean: $(cat BENCH/BEST_CLEAN.json 2>/dev/null) 2v8: $(cat BENCH/BEST_CLEAN_2v8.json 2>/dev/null)"
   sleep 20
 done
 echo "[campaign] finished $ITERS iterations"

@@ -70,30 +70,39 @@ object Bench {
    *  therefore never regress the published record (round-4 failure: the
    *  driver's weather-poisoned 0.051 rep overwrote the honest campaign
    *  document — the truth must live in a file no single run clobbers). */
-  private val bestCleanPath = Paths.get("BENCH/BEST_CLEAN.json")
+  /** Records are PER PAIR CLASS: a clean 2v8 pair must not displace the 4v16
+   *  history (different saturation regimes of the shared memory system — the
+   *  lower-demand pair is the more faithful cluster model, the higher-demand
+   *  one the more conservative; both are published). The primary 4v16 class
+   *  keeps the historic filename. */
+  private def bestCleanPathFor(nLow: Int, nHigh: Int) =
+    if (nLow == 4 && nHigh == 16) Paths.get("BENCH/BEST_CLEAN.json")
+    else Paths.get(s"BENCH/BEST_CLEAN_${nLow}v$nHigh.json")
 
-  /** (eff, raw json) of the standing record, if any. */
-  private def loadBestClean(): Option[(Double, String)] =
-    if (!Files.exists(bestCleanPath)) None
+  /** (eff, raw json) of the standing record for the pair class, if any. */
+  private def loadBestClean(nLow: Int = 4, nHigh: Int = 16): Option[(Double, String)] = {
+    val p = bestCleanPathFor(nLow, nHigh)
+    if (!Files.exists(p)) None
     else {
-      val raw = Files.readString(bestCleanPath).trim.replaceAll("\\s+", " ")
+      val raw = Files.readString(p).trim.replaceAll("\\s+", " ")
       """"eff"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(raw)
         .map(m => (m.group(1).toDouble, raw))
     }
+  }
 
-  /** Record a protocol-clean rep iff it beats the standing record. */
+  /** Record a protocol-clean rep iff it beats its pair class' standing record. */
   private def maybeRecordBestClean(eff: Double, nLow: Int, nHigh: Int,
                                    tLow: Double, tHigh: Double,
                                    stealLow: Double, stealHigh: Double,
                                    weather: Double, docs: Long): Unit = this.synchronized {
-    val cur = loadBestClean().map(_._1).getOrElse(0.0)
+    val cur = loadBestClean(nLow, nHigh).map(_._1).getOrElse(0.0)
     if (eff > cur) {
       val prune = if (sys.env.get("SPARK_GRAFT_PRUNE").contains("0")) "off" else "on"
       val json =
         f"""{"eff":$eff%.3f,"n_low":$nLow,"n_high":$nHigh,"t_low_sec":$tLow%.1f,"t_high_sec":$tHigh%.1f,"steal_low_pct":$stealLow%.2f,"steal_high_pct":$stealHigh%.2f,"weather":$weather%.2f,"docs":$docs,"prune":"$prune","recorded_by":"$runDocName"}"""
       try {
         Files.createDirectories(Paths.get("BENCH"))
-        Files.writeString(bestCleanPath, json)
+        Files.writeString(bestCleanPathFor(nLow, nHigh), json)
         System.err.println(s"[bench] NEW protocol-clean record: $json")
       } catch { case _: Throwable => () }
     }
@@ -393,7 +402,7 @@ object Bench {
       val wl = weathersLow.lift(i).getOrElse(0.0)
       f"| ${i + 1} | ${rawHigh(i).seconds}%.1f | ${rawHigh(i).stealPct}%.1f | $wh%.2f | ${attemptsHigh(i)} | ${rawLow(i).seconds}%.1f | ${rawLow(i).stealPct}%.1f | $wl%.2f | ${attemptsLow(i)} | ${effs(i)}%.3f | ${if (cleanFlags(i)) "CLEAN" else "dirty"} |"
     }.mkString("\n")
-    val bestHist = loadBestClean().map(_._2)
+    val bestHist = loadBestClean(nLow, nHigh).map(_._2)
     val md =
       f"""## Pair local[$nLow] vs local[$nHigh] ($reps reps)
          |
