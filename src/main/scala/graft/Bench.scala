@@ -212,6 +212,9 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  private def medianOr0(xs: scala.collection.Seq[Double]): Double =
+    if (xs.isEmpty) 0.0 else median(xs.toSeq)
+
   // ------------------------------------------------------ weather probes ----
 
   private def hashWork(buf: Array[Byte], iters: Long): Long = {
@@ -440,9 +443,11 @@ object Bench {
          || target (north_rule) | >= 0.8 |
          |
          |Per-stage medians (materialized stages only; light stages fold into
-         |their consumers):
+         |their consumers). Stage seconds inherit their ARM's weather — the
+         |header carries each arm's median steal/weather so a stage ratio is
+         |never read without the conditions it ran under:
          |
-         || stage | local[$nLow] s | local[$nHigh] s | ratio |
+         || stage | local[$nLow] s (steal ${median(rawLow.map(_.stealPct))}%.1f%%, wx ${medianOr0(weathersLow)}%.2f) | local[$nHigh] s (steal ${median(rawHigh.map(_.stealPct))}%.1f%%, wx ${medianOr0(weathersHigh)}%.2f) | ratio |
          ||---|---|---|---|
          |$stageTable
          |""".stripMargin

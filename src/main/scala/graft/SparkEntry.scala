@@ -307,8 +307,69 @@ object SparkEntry {
         .select(col("doc_id"), col("modality"), col("width").cast("long"),
           col("height").cast("long"), col("duration_ms"))
         .toDF("doc_id", "modality", "width", "height", "duration_ms")
+    }),
+
+    // P4/A3 quick mode, end-to-end (scanner.rs:108-123, main.rs:26-31): the
+    // reference's staged prefilters — size survivors, then 64-bit-hash
+    // survivors — grouped WITHOUT the crypto confirm (group id = xxh3_64,
+    // bit-identical to the reference via the native codegen expression).
+    // The oracle groups by content directly: identical partition unless
+    // xxh3 collides, which the hash-exact compare would expose.
+    "q32_quick_groups" -> ((s, dir) => {
+      val h = ExactDedup.withHashes(Corpus.fromDocuments(s, dir),
+        quick = true, xxh3 = true)
+      val survivors = ExactDedup.xxhPrefilter(ExactDedup.sizePrefilter(h))
+      val w = Window.partitionBy("group_id")
+      survivors
+        .withColumn("n_members", count(lit(1)).over(w))
+        .withColumn("keeper", min(col("rkey")).over(w))
+        .select("rkey", "n_members", "keeper")
+    }),
+
+    // S5/O1/O2/F4 — the snapshot TEXT file as a distributed query: every
+    // line of the reference's wire format (header with RFC2822 stamp, groups
+    // ordered by keeper size desc, members lexicographic, blank separators)
+    // with its 1-based line number. The oracle rebuilds each line in SQL —
+    // including the weekday/month names via strftime, so the F4 codec is
+    // checked engine-vs-engine, not against a golden string.
+    "q33_snapshot_text" -> ((s, dir) =>
+      graft.operators.Textformat.renderTable(
+        ExactDedup.snapshot(hashed(s, dir)), "corpus", snapshotTextTs)),
+
+    // F7 — snapshot text codec round-trip, distributed: render to lines,
+    // parse the lines back (group hash = running last hash-line window),
+    // recover exactly the snapshot's (group, member, action, source) rows.
+    "q34_text_roundtrip" -> ((s, dir) =>
+      graft.operators.Textformat.parseTable(
+        graft.operators.Textformat.renderTable(
+          ExactDedup.snapshot(hashed(s, dir)), "corpus", snapshotTextTs))),
+
+    // TRUE suffix-array pass (prefix doubling), end-to-end oracled: exact
+    // pairs of content representatives sharing a verbatim 48-char window.
+    // Same declared semantics as q13 (rolling fingerprints + byte verify),
+    // so the q13 substring-self-join oracle applies verbatim — but this
+    // path derives the pair set from character-equality classes alone
+    // (no hash anywhere in the decision), the SA-family guarantee.
+    "q35_sa_pairs" -> ((s, dir) => {
+      val reps = NearDup.dedupedByContentBroadcast(corpusWithKey(s, dir))
+      val ids = reps.select(xxhash64(col("rkey")).as("id"), col("rkey"), col("content"))
+      val pairs = graft.operators.SuffixArray.windowClassPairs(
+        ids.select("id", "content"), cfg.gramWidth, cap = Int.MaxValue)
+      val names = ids.select("id", "rkey")
+      pairs
+        .join(broadcast(names.toDF("id", "k1")), col("a_key") === col("id")).drop("id")
+        .join(broadcast(names.toDF("id", "k2")), col("b_key") === col("id")).drop("id")
+        .select(least(col("k1"), col("k2")).as("a_key"),
+          greatest(col("k1"), col("k2")).as("b_key"))
     })
   )
+
+  /** Fixed snapshot-text timestamp (the reference stamps now(); pinned for
+   *  determinism): 2003-07-01T08:52:37Z — renders through the real F4 codec. */
+  private val snapshotTextTs: String =
+    graft.operators.Textformat.formatRfc2822(
+      java.time.OffsetDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(1057049557L), java.time.ZoneOffset.UTC))
 
   /** Shared DuckDB CTEs rebuilding the shingle/Jaccard brute-force oracle:
    *  the same tokenization contract as [[graft.functions.Shingles]]. */
@@ -869,13 +930,79 @@ FROM documents""",
         """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
   CAST(count(*) AS BIGINT) AS n_events,
   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q
-FROM events GROUP BY 1, 2"""
+FROM events GROUP BY 1, 2""",
+
+      // Quick-mode groups ≡ content groups unless xxh3_64 collides (the
+      // hash-exact compare would expose a collision as a row mismatch).
+      "q32_quick_groups" ->
+        s"""$H
+SELECT rkey,
+       CAST(count(*) OVER (PARTITION BY content) AS BIGINT) AS n_members,
+       min(rkey) OVER (PARTITION BY content) AS keeper
+FROM hashed
+QUALIFY count(*) OVER (PARTITION BY content) > 1""",
+
+      // Snapshot text file, line by line: group blocks ordered by keeper
+      // size desc then group id, members lexicographic, offsets as a prefix
+      // sum over block sizes; the RFC2822 header derives from strftime so
+      // weekday/month names are computed independently of the engine.
+      "q33_snapshot_text" ->
+        s"""$H,
+snap AS (
+  SELECT group_id, rkey, size,
+         CASE WHEN rkey = keeper THEN 'keep' ELSE 'symlink' END AS action,
+         CASE WHEN rkey = keeper THEN NULL ELSE keeper END AS sym
+  FROM (SELECT *, min(rkey) OVER (PARTITION BY group_id) AS keeper,
+               count(*) OVER (PARTITION BY group_id) AS nm
+        FROM hashed) t
+  WHERE nm > 1
+),
+go AS (
+  SELECT group_id, n,
+         3 + coalesce(sum(n + 2) OVER (ORDER BY gsize DESC, group_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT group_id, min(size) AS gsize, count(*) AS n FROM snap GROUP BY 1) g
+),
+mem AS (
+  SELECT group_id, rkey, action, sym,
+         row_number() OVER (PARTITION BY group_id ORDER BY rkey) AS rn
+  FROM snap
+),
+lines AS (
+  SELECT 1 AS line_no, '#! rootdir: corpus' AS line
+  UNION ALL
+  SELECT 2, '#! generated_at: ' ||
+         strftime(make_timestamp(1057049557000000), '%a, %-d %b %Y %H:%M:%S') || ' +0000'
+  UNION ALL SELECT 3, ''
+  UNION ALL SELECT off + 1, '[' || group_id || ']' FROM go
+  UNION ALL
+  SELECT go.off + 1 + m.rn,
+         CASE WHEN m.action = 'keep' THEN 'keep ' || m.rkey
+              ELSE 'symlink ' || m.rkey || ' -> ' || m.sym END
+  FROM mem m JOIN go ON m.group_id = go.group_id
+  UNION ALL SELECT off + n + 2, '' FROM go
+)
+SELECT CAST(line_no AS BIGINT) AS line_no, line FROM lines""",
+
+      // Round-trip recovers exactly the snapshot's rows.
+      "q34_text_roundtrip" ->
+        s"""$H
+SELECT group_id, rkey,
+       CASE WHEN rkey = keeper THEN 'keep' ELSE 'symlink' END AS action,
+       CASE WHEN rkey = keeper THEN NULL ELSE keeper END AS symlink_source
+FROM (SELECT *, min(rkey) OVER (PARTITION BY group_id) AS keeper,
+             count(*) OVER (PARTITION BY group_id) AS nm
+      FROM hashed) t
+WHERE nm > 1"""
     )
     // Stored-index paths are proven row-identical to their rebuild paths
-    // (IndexStoreSpec), so the SAME oracles apply verbatim.
+    // (IndexStoreSpec), so the SAME oracles apply verbatim. The suffix-array
+    // pass computes the SAME declared set as q13 (pairs sharing a verbatim
+    // 48-char window), so the q13 substring-self-join oracle applies.
     m ++ Map(
       "q30_ann_stored" -> m("q18_ann_topk"),
-      "q31_ivf_stored" -> m("q26_ivf_topk"))
+      "q31_ivf_stored" -> m("q26_ivf_topk"),
+      "q35_sa_pairs" -> m("q13_rolling_pairs"))
   }
 
   /**

@@ -85,6 +85,42 @@ class TextformatSpec extends AnyFunSuite {
     }
   }
 
+  test("renderTable (distributed) matches the driver render line-for-line") {
+    val df = Textformat.renderTable(snapDF(), "/corpus", "Thu, 01 Jan 2026 00:00:00 +0000")
+    val got = df.orderBy("line_no").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._1).toSeq === (1L to golden.length.toLong))
+    assert(got.map(_._2).toSeq === golden)
+  }
+
+  test("parseTable (distributed) recovers the snapshot rows from renderTable lines") {
+    val lines = Textformat.renderTable(snapDF(), "/corpus", "Thu, 01 Jan 2026 00:00:00 +0000")
+    val rows = Textformat.parseTable(lines).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), Option(r.getString(3)))).toSet
+    assert(rows === Set(
+      ("bb22", "r2/x.txt", "keep", None),
+      ("bb22", "r2/y.txt", "delete", None),
+      ("bb22", "r2/z.txt", "symlink", None),
+      ("aa11", "r1/a.txt", "keep", None),
+      ("aa11", "r1/b.txt", "symlink", Some("r1/a.txt"))))
+  }
+
+  test("parseTable rejects malformed input like the driver parse (F7)") {
+    import spark.implicits._
+    def run(ls: Seq[String]) = Textformat.parseTable(
+      ls.zipWithIndex.map { case (l, i) => (i.toLong + 1, l) }.toDF("line_no", "line")).collect()
+    intercept[Exception] { run(Seq("keep orphan.txt")) }              // path before any hash
+    intercept[Exception] { run(Seq("[aa]", "symlink a -> b -> c")) }  // chained source
+    intercept[Exception] { run(Seq("???")) }                          // unparseable shape
+    // well-formed control: no throw, one row
+    assert(run(Seq("# c", "", "[ff]", "keep p")).length === 1)
+  }
+
+  test("renderTable rejects a malformed generated_at up front (F4)") {
+    intercept[java.time.format.DateTimeParseException] {
+      Textformat.renderTable(snapDF(), "/corpus", "not-a-date")
+    }
+  }
+
   test("human-readable byte sizes (F8)") {
     assert(Textformat.humanBytes(0L) === "0 B")
     assert(Textformat.humanBytes(1023L) === "1023 B")
