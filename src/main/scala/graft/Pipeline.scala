@@ -111,24 +111,35 @@ object Pipeline {
         // bandwidth-bound sort in the profile into a fraction of itself, at
         // the price of one perfectly-parallel extra scan. Exact (see
         // SeenTwice scaladoc + SeenTwiceSpec pair-set parity).
-        val banded = NearDup.bandedById(signatures, cfg)
         val bandRows = signatures.count() * cfg.bands // parquet-stage metadata count
+        if (cfg.pruneSingletons && bandRows > cfg.pruneShardedMaxRows) {
+          // Third regime (BENCH/PROFILE_r05.md §3): past even the sharded
+          // sketch's window, one whole-corpus sketch would saturate — the
+          // full cut comes from processing bands in RANGES, each re-entering
+          // the effective-load window, one sketch live at a time, per-range
+          // checkpoints resumable like any stage.
+          NearDup.candidateIdPairsBandRanged(signatures, cfg,
+            s"${ctx.runDir}/candidates_ranges",
+            n => { dropsB.add(1L); dropsR.add(n) })
+        } else {
+        val banded = NearDup.bandedById(signatures, cfg)
         val pruned =
           if (cfg.pruneSingletons && bandRows >= cfg.pruneMinRows) {
             if (bandRows <= cfg.pruneMaxRows)
               graft.functions.SeenTwice.prune(banded, "band_hash",
                 graft.functions.SeenTwice.autoLog2m(bandRows))
-            else if (bandRows <= cfg.pruneShardedMaxRows) {
+            else {
               // past the 64 MB single-array cap: sharded slot space, per-
               // shard build/merge, 4 GB broadcast budget (round-4 verdict
               // "What's missing #3" — the prune no longer turns itself off
               // exactly where the exchange is biggest)
               val (l2, sb) = graft.functions.SeenTwice.autoShardedBits(bandRows)
               graft.functions.SeenTwice.pruneSharded(banded, "band_hash", l2, sb)
-            } else banded
+            }
           } else banded
         NearDup.candidateIdPairs(pruned, cfg,
           n => { dropsB.add(1L); dropsR.add(n) })
+        }
       }
       ctx.metrics.record("candidates.dropped_buckets", dropsB.value)
       ctx.metrics.record("candidates.dropped_members", dropsR.value)

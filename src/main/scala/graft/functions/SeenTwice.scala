@@ -141,7 +141,15 @@ object SeenTwice {
    *  saturated sketch (marked ratio > [[saturationSkipRatio]]) skips the
    *  filter: correctness is unaffected either way (false positives only
    *  keep rows), the skip just refuses to pay a filter that prunes ~nothing. */
-  def prune(df: DataFrame, colName: String, log2m: Int): DataFrame = {
+  def prune(df: DataFrame, colName: String, log2m: Int): DataFrame =
+    pruneReleasable(df, colName, log2m)._1
+
+  /** [[prune]] plus the sketch's broadcast release handle, for callers that
+   *  process several sketches in sequence (the band-range driver): call the
+   *  handle ONLY after the filtered plan is fully materialized, so exactly
+   *  one sketch broadcast is live at a time instead of all of them awaiting
+   *  GC. A skipped (saturated) or never-built sketch returns a no-op. */
+  def pruneReleasable(df: DataFrame, colName: String, log2m: Int): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val bits = sketch(df, colName, log2m)
     val ratio = markedRatio(bits, 1L << log2m)
@@ -150,12 +158,13 @@ object SeenTwice {
     if (ratio > saturationSkipRatio) {
       System.err.println(f"[graft.prune] $colName: sketch saturated " +
         f"(ratio ${ratio}%.2f > $saturationSkipRatio) — filter skipped, rows pass through")
-      return df
+      return (df, () => ())
     }
     val bc = spark.sparkContext.broadcast(bits)
-    df.filter(org.apache.spark.sql.GraftColumnBridge.column(
+    val filtered = df.filter(org.apache.spark.sql.GraftColumnBridge.column(
       BitsetContainsExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(df(colName)), bc, log2m)))
+    (filtered, () => bc.destroy())
   }
 
   // ---- sharded sketch: past the 2^29 single-array cap ----------------------
@@ -305,7 +314,13 @@ object SeenTwice {
    *  (SeenTwiceSpec parity), built and merged shard-parallel. Same
    *  saturation skip. */
   def pruneSharded(df: DataFrame, colName: String, log2mShard: Int,
-                   shardBits: Int): DataFrame = {
+                   shardBits: Int): DataFrame =
+    pruneShardedReleasable(df, colName, log2mShard, shardBits)._1
+
+  /** [[pruneSharded]] plus the broadcast release handle — see
+   *  [[pruneReleasable]] for the one-sketch-live-at-a-time contract. */
+  def pruneShardedReleasable(df: DataFrame, colName: String, log2mShard: Int,
+                             shardBits: Int): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val bits = sketchSharded(df, colName, log2mShard, shardBits)
     val totalSlots = 1L << (log2mShard + shardBits)
@@ -320,12 +335,28 @@ object SeenTwice {
     if (ratio > saturationSkipRatio) {
       System.err.println(f"[graft.prune] $colName: sharded sketch saturated " +
         f"(ratio ${ratio}%.2f > $saturationSkipRatio) — filter skipped, rows pass through")
-      return df
+      return (df, () => ())
     }
     val bc = spark.sparkContext.broadcast(bits)
-    df.filter(org.apache.spark.sql.GraftColumnBridge.column(
+    val filtered = df.filter(org.apache.spark.sql.GraftColumnBridge.column(
       BitsetShardContainsExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(df(colName)),
         bc, log2mShard, shardBits)))
+    (filtered, () => bc.destroy())
   }
+
+  /** Regime dispatch for one prune over `rows` exploded rows, with the
+   *  release handle: monolithic sketch at or under `maxRows`, sharded at or
+   *  under `shardedMaxRows`, honest pass-through above (the sketch would
+   *  saturate) or below `minRows` (the extra scan nets negative). The
+   *  band-range driver calls this per range, where `rows` re-enters the
+   *  effective window by construction. */
+  def pruneAuto(df: DataFrame, colName: String, rows: Long, minRows: Long,
+                maxRows: Long, shardedMaxRows: Long): (DataFrame, () => Unit) =
+    if (rows < minRows) (df, () => ())
+    else if (rows <= maxRows) pruneReleasable(df, colName, autoLog2m(rows))
+    else if (rows <= shardedMaxRows) {
+      val (l2, sb) = autoShardedBits(rows)
+      pruneShardedReleasable(df, colName, l2, sb)
+    } else (df, () => ())
 }

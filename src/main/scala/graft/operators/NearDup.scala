@@ -164,6 +164,19 @@ object NearDup {
       col("id"),
       explode(bandUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand))).as("band_hash"))
 
+  /** [[bandedById]] restricted to the contiguous band range `[bandLo, bandHi)`
+   *  — a `slice` of the per-band hash array before the explode. Each band's
+   *  index is folded into its hash (`Shingles.bandHashes` seeds every band's
+   *  chain with its index), so slicing by position preserves the hashes:
+   *  ranges PARTITION the exploded rows exactly, and no pair can span two
+   *  ranges (a pair needs two rows in the SAME bucket, hence the same band). */
+  def bandedByIdRange(signatures: DataFrame, cfg: DedupConfig,
+                      bandLo: Int, bandHi: Int): DataFrame =
+    signatures.select(
+      col("id"),
+      explode(slice(bandUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)),
+        bandLo + 1, bandHi - bandLo)).as("band_hash"))
+
   /** Buckets dropped by the skew guard, with sizes — the lineage/metrics view
    *  required by north_rule ("cap skewed buckets, report them"). */
   def droppedBuckets(banded: DataFrame, cfg: DedupConfig): DataFrame =
@@ -195,7 +208,15 @@ object NearDup {
    * would — the documented trade of the 64-bit node id space.
    */
   def candidateIdPairs(banded: DataFrame, cfg: DedupConfig,
-                       onDrop: Long => Unit = _ => ()): DataFrame = {
+                       onDrop: Long => Unit = _ => ()): DataFrame =
+    candidateIdPairsRaw(banded, cfg, onDrop).distinct()
+
+  /** [[candidateIdPairs]] WITHOUT the final distinct — the band-range driver
+   *  unions its ranges' raw pair streams first and dedups ONCE (a pair found
+   *  by bands in two different ranges would otherwise survive per-range
+   *  distincts and double up in the union). */
+  def candidateIdPairsRaw(banded: DataFrame, cfg: DedupConfig,
+                          onDrop: Long => Unit = _ => ()): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
     val cap = cfg.maxBucketSize
@@ -205,6 +226,60 @@ object NearDup {
       .select(col("band_hash"), col("id")).as[(Long, Long)]
       .mapPartitions(it => graft.functions.BucketScan.pairs(it, cap, onDrop))
       .toDF("a_id", "b_id")
+  }
+
+  /**
+   * [[candidateIdPairs]] at the 10⁹-doc shape: bands processed in contiguous
+   * RANGES so the singleton prune re-enters its effective-load window per
+   * range (BENCH/PROFILE_r05.md §3). One pass over 10⁹ docs × 64 bands =
+   * 6.4×10¹⁰ exploded rows runs even the 4 GB sharded sketch at load α ≈ 1.9
+   * — cutting ~9% and rightly skipping itself as saturated; 8 ranges of 8
+   * bands run α ≈ 0.23 per range and cut ~47% of EVERY range's rows before
+   * its exchange. Because ranges partition the exploded rows (see
+   * [[bandedByIdRange]]):
+   *  - the total sketch-build scan stays ONE pass over the exploded rows
+   *    (each range explodes only its slice; the signatures table is re-read
+   *    per range — a narrow columnar scan, the decisive trade in PROFILE §3),
+   *  - no candidate pair can span two ranges, so the per-range raw pair
+   *    streams union losslessly and dedup ONCE.
+   *
+   * Each range's pairs MATERIALIZE to `<rangeDir>/range_<i>` before the next
+   * range's sketch is built: exactly one sketch broadcast is live at a time
+   * (released as soon as its range lands), and a killed run resumes from
+   * completed ranges — the parquet `_SUCCESS` marker is the done-flag, the
+   * same contract as stage checkpoints (north_rule: resumable from
+   * checkpoint). The ranges are internal state of the candidates stage; the
+   * caller still owns the stage-level checkpoint of the deduped union.
+   */
+  def candidateIdPairsBandRanged(signatures: DataFrame, cfg: DedupConfig,
+                                 rangeDir: String,
+                                 onDrop: Long => Unit = _ => ()): DataFrame = {
+    val spark = signatures.sparkSession
+    val sigRows = signatures.count()
+    val bandRows = sigRows * cfg.bands
+    val nRanges = math.min(cfg.bands.toLong,
+      math.max(1L, (bandRows + cfg.pruneShardedMaxRows - 1) / cfg.pruneShardedMaxRows)).toInt
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(rangeDir), spark.sparkContext.hadoopConfiguration)
+    (0 until nRanges).foreach { r =>
+      val lo = r * cfg.bands / nRanges
+      val hi = (r + 1) * cfg.bands / nRanges
+      val path = s"$rangeDir/range_$r"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        val (pruned, release) = graft.functions.SeenTwice.pruneAuto(
+          bandedByIdRange(signatures, cfg, lo, hi), "band_hash",
+          sigRows * (hi - lo), cfg.pruneMinRows, cfg.pruneMaxRows,
+          cfg.pruneShardedMaxRows)
+        try candidateIdPairsRaw(pruned, cfg, onDrop)
+          .write.mode("overwrite").parquet(path)
+        finally release()
+        System.err.println(f"[graft.stage] candidates range $r/$nRanges " +
+          f"(bands $lo..${hi - 1}) ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } else System.err.println(
+        s"[graft.stage] candidates range $r/$nRanges restored from checkpoint")
+    }
+    spark.read.parquet((0 until nRanges).map(r => s"$rangeDir/range_$r"): _*)
       .distinct()
   }
 
