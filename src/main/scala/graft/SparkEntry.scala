@@ -196,6 +196,30 @@ object SparkEntry {
     "q27_stream_dedup" -> ((s, dir) =>
       graft.streaming.DedupStream.dedupActions(Corpus.fromDocuments(s, dir)).toDF()),
 
+    // Streaming incremental near-dup (continuous analog of q06): the
+    // stateful two-stage core (first-sight content reps → incremental LSH
+    // bucket join, the exact batch sketch via shared column functions) run
+    // in single-batch mode over the same corpus, candidates verified with
+    // the batch exact-Jaccard tail. Multi-batch ≡ static parity is proven
+    // in NearDupStreamSpec; the verified output is q06's pair set exactly,
+    // so q06's oracle applies verbatim.
+    "q37_stream_near_pairs" -> ((s, dir) => {
+      val k = corpusWithKey(s, dir)
+      val cand = graft.streaming.NearDupStream.candidateIdPairs(k, cfg).toDF().distinct()
+      val sh = NearDup.uniqShingleSets(k, cfg)
+        .select(xxhash64(col("rkey")).as("id"), col("rkey"),
+          col("shingles"), col("n_shingles"))
+      val verified = NearDup.verifyCandidatesById(cand,
+        sh.select("id", "shingles", "n_shingles"), cfg)
+      val names = sh.select("id", "rkey")
+      verified
+        .join(broadcast(names.toDF("id", "ka")), col("a_id") === col("id")).drop("id")
+        .join(broadcast(names.toDF("id", "kb")), col("b_id") === col("id")).drop("id")
+        .select(least(col("ka"), col("kb")).as("a_key"),
+          greatest(col("ka"), col("kb")).as("b_key"),
+          col("n_intersect"), col("n_union"), col("jaccard"))
+    }),
+
     // Multimodal metadata projection over binary media columns.
     "q19_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
 
@@ -235,6 +259,17 @@ object SparkEntry {
     // verifies with this same exact cosine).
     "q24_embed_dup_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
+
+    // Embedding near-dup at SCALE: the LSH bucket-join path for q24's
+    // declared O(n²) baseline — multi-probe hyperplane candidates (the q18
+    // sketch, replayed bit-for-bit by the oracle), exact-cosine verified at
+    // the same 0.4 threshold. The rows are the LSH-recalled subset of q24's,
+    // by design: recall at this config is ~0.97 at cos 0.5 and ~1 at real
+    // near-dup levels (cos ≥ 0.9), governed by tables×bits as in q18.
+    "q36_embed_lsh_pairs" -> ((s, dir) =>
+      Similarity.lshCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.4,
+        onDrop = (b, m) => System.err.println(
+          s"[graft.skew] embed_lsh_pairs: $b hot buckets ($m member rows) over cap — dropped, reported"))),
 
     // Skew-report surface (north_rule "cap skewed buckets, report them"):
     // grams shared by more than `cap` distinct representatives — the
@@ -821,6 +856,61 @@ SELECT vec_id, neighbor_id, rank, cosq FROM (
   FROM pd JOIN n na ON pd.vec_id = na.vec_id JOIN n nb ON pd.neighbor_id = nb.vec_id
 ) t WHERE rank <= 5""",
 
+      // Same sketch replay as q18 (identical emb/u/n/planes/bkt/hot/probes
+      // CTEs), but pair semantics: both probe directions folded via
+      // least/greatest, exact quantized cosine thresholded instead of
+      // ranked.
+      "q36_embed_lsh_pairs" ->
+        """WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+u AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM emb),
+n AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS ss FROM u GROUP BY 1),
+tb AS (SELECT t.t, b.b FROM (SELECT unnest(generate_series(0, 15)) AS t) t
+       CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b),
+dims AS (SELECT unnest(generate_series(1, (SELECT max(i) FROM u))) AS i),
+planes AS (
+  SELECT t, b, i,
+    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) - 32768 AS BIGINT) AS w
+  FROM (SELECT tb.t, tb.b, d.i, substr(md5(tb.t || ',' || tb.b || ',' || (d.i - 1)), 1, 4) AS h
+        FROM tb CROSS JOIN dims d)
+),
+dots AS (
+  SELECT u.vec_id, p.t, p.b, CAST(sum(u.v * p.w) AS BIGINT) AS dot
+  FROM u JOIN planes p ON u.i = p.i GROUP BY 1, 2, 3
+),
+bkt AS (
+  SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+hot AS (SELECT t, bucket FROM bkt GROUP BY t, bucket HAVING count(*) > 4096),
+idx AS (SELECT b.* FROM bkt b LEFT JOIN hot h ON b.t = h.t AND b.bucket = h.bucket WHERE h.t IS NULL),
+probe0 AS (
+  SELECT vec_id, t, bucket FROM bkt
+  UNION ALL
+  SELECT b.vec_id, b.t, xor(b.bucket, CAST(1 AS BIGINT) << j.j) AS bucket
+  FROM bkt b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+),
+probes AS (SELECT p.* FROM probe0 p LEFT JOIN hot h ON p.t = h.t AND p.bucket = h.bucket WHERE h.t IS NULL),
+cand AS (
+  SELECT DISTINCT least(p.vec_id, x.vec_id) AS a_id, greatest(p.vec_id, x.vec_id) AS b_id
+  FROM probes p JOIN idx x ON p.t = x.t AND p.bucket = x.bucket AND p.vec_id <> x.vec_id
+),
+pd AS (
+  SELECT c.a_id, c.b_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+  FROM cand c JOIN u a ON a.vec_id = c.a_id JOIN u b ON b.vec_id = c.b_id AND a.i = b.i
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, cosq FROM (
+  SELECT pd.a_id, pd.b_id,
+    CAST(pd.dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cosq
+  FROM pd JOIN n na ON pd.a_id = na.vec_id JOIN n nb ON pd.b_id = nb.vec_id
+) t WHERE cosq >= 0.4""",
+
       // Full replay of the IVF path (round-3 verdict #2): norm-quantize
       // (floor(q·10⁴/√ss)) → md5(vec_id)-smallest seeds → THREE unrolled
       // integer Lloyd iterations (exact squared-L2 assignment, tie → lower
@@ -1002,7 +1092,11 @@ WHERE nm > 1"""
     m ++ Map(
       "q30_ann_stored" -> m("q18_ann_topk"),
       "q31_ivf_stored" -> m("q26_ivf_topk"),
-      "q35_sa_pairs" -> m("q13_rolling_pairs"))
+      "q35_sa_pairs" -> m("q13_rolling_pairs"),
+      // The streaming candidate core in single-batch mode generates the
+      // batch candidate set (NearDupStreamSpec parity), and the verify tail
+      // is the batch one — q06's oracle applies verbatim.
+      "q37_stream_near_pairs" -> m("q06_near_pairs"))
   }
 
   /**

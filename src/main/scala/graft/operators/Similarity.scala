@@ -93,6 +93,58 @@ object Similarity {
   }
 
   /**
+   * Embedding near-dup pairs at SCALE — the bucket-join path for
+   * [[cosinePairs]]' declared O(n²) baseline: candidates from the hyperplane
+   * LSH index with multi-probe on the query side and hot buckets capped AND
+   * reported (the exact candidate generation of [[annTopK]]), verified with
+   * the same exact quantized cosine, thresholded at `minCos`. Output shape
+   * is [[cosinePairs]]' (`(a_id, b_id, cosq)`, `a_id < b_id`); the pair set
+   * is the LSH-recalled subset — a pair surfaces iff some table probes the
+   * two vectors into a shared un-capped bucket (both probe directions are
+   * folded in via least/greatest before the dedup, so an asymmetric hot-cap
+   * never loses the reachable direction). Candidate volume is bounded by
+   * `tables · (bits+1) · maxBucketSize` per vector vs the baseline's n —
+   * the difference between a joinable and an impossible pass at 10⁹
+   * vectors. Recall is governed by `tables`/`bits` exactly as in
+   * [[annTopK]]: with 16 tables × 8 bits and 1-bit probes, a cos 0.9 pair
+   * is missed with probability ~3·10⁻⁵ and even a cos 0.5 pair is found
+   * ~97% of the time; the integer sketch makes the WHOLE candidate set
+   * replay bit-for-bit in ANSI SQL (q36's DuckDB oracle).
+   */
+  def lshCosinePairs(embeddings: DataFrame, minCos: Double, tables: Int = 16,
+                     bits: Int = 0, maxBucketSize: Int = 4096,
+                     onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val b = if (bits > 0) bits else autoBits(embeddings.count(), maxBucketSize)
+    val idx = annIndex(embeddings, tables, b)
+    val hotRows = annHotBuckets(idx, maxBucketSize).collect()
+    if (hotRows.nonEmpty)
+      onDrop(hotRows.length.toLong, hotRows.map(_.getAs[Long]("count")).sum)
+    val hot = broadcast(
+      hotRows.map(r => (r.getAs[Int]("table"), r.getAs[Long]("bucket"))).toSeq
+        .toDF("table", "bucket"))
+    val idxOk = idx.join(hot, Seq("table", "bucket"), "left_anti")
+      .repartition(col("table"), col("bucket"))
+    val probes = annProbes(embeddings, tables, b)
+      .join(hot, Seq("table", "bucket"), "left_anti")
+    val cand = probes.as("a").join(idxOk.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("a_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("b_id"))
+      .distinct()
+    val q = quantized(embeddings).select("vec_id", "q", "ss")
+    val qa = q.select(col("vec_id").as("a_id"), col("q").as("qa"), col("ss").as("ssa"))
+    val qb = q.select(col("vec_id").as("b_id"), col("q").as("qb"), col("ss").as("ssb"))
+    cand.join(qa, "a_id").join(qb, "b_id")
+      .withColumn("cosq", dotQ(col("qa"), col("qb")).cast("double") /
+        (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double"))))
+      .where(col("cosq") >= minCos)
+      .select("a_id", "b_id", "cosq")
+  }
+
+  /**
    * Deterministic hyperplane component for (table, bit, dim): a signed
    * 16-bit integer derived from `md5("t,b,d")` (first 4 hex chars − 32768).
    * INTEGER planes × INTEGER quantized vectors make the sign test

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.Similarity
 
 /** Similarity search: brute-force baseline vs an in-process oracle; ANN
@@ -47,6 +48,38 @@ class SimilaritySpec extends AnyFunSuite {
     // near-uniform random vectors are the worst case for hyperplane LSH;
     // structured embeddings only do better than this bound.
     assert(recall >= 0.8)
+  }
+
+  test("lshCosinePairs: exact subset of cosinePairs; planted near-dup pairs fully recalled") {
+    import spark.implicits._
+    val t = 0.4
+    val exact = Similarity.cosinePairs(embeddings, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshCosinePairs(embeddings, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair is a true pair with the identical exact cosine
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false pair $k")
+      assert(exact(k) === c)
+    }
+    info(f"lsh recall at cos>=$t: ${lsh.size}/${exact.size}")
+
+    // at real near-dup similarity the bucket index must not miss: plant
+    // clones with tiny perturbations (cos ~0.9999) among the real corpus
+    val base = embeddings.select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).take(20)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = base.zipWithIndex.map { case ((_, v), i) =>
+      val w = v.clone(); w(0) = w(0) + 0.001f
+      (1000000L + i, w.toSeq)
+    }.toSeq.toDF("vec_id", "embedding")
+    val withClones = embeddings.select("vec_id", "embedding").union(planted)
+    val got = Similarity.lshCosinePairs(withClones, 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.zipWithIndex.foreach { case ((id, _), i) =>
+      val pair = (math.min(id, 1000000L + i), math.max(id, 1000000L + i))
+      assert(got.contains(pair), s"planted clone pair $pair missed")
+    }
   }
 
   test("IVF top-k recall vs brute force >= 0.8 and deterministic across runs") {
