@@ -49,11 +49,18 @@ object SparkEntry {
     }
 
   /** Full validation truth table over the planted snapshot+state matrix
-   *  (shared by q14/q15/q16/q22). */
+   *  (shared by q14/q15/q16/q22). The edited snapshot and planted state are
+   *  MATERIALIZED (localCheckpoint) before validation: `validateState`
+   *  references its state three times and its edited input twice, and each
+   *  un-materialized reference re-executed the whole snapshot-window +
+   *  donor-aggregation subtree — measured as ~58 driver-coordinated jobs for
+   *  q14 alone (guide §2.4/§5: cut repeated subtrees, not bytes). */
   private def validated(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "validated") {
       val h = hashed(spark, dir)
-      Snapshots.validateState(Snapshots.editedSnapshot(h), Snapshots.plantedState(h))
+      Snapshots.validateState(
+        Snapshots.editedSnapshot(h).localCheckpoint(),
+        Snapshots.plantedState(h).localCheckpoint())
     }
 
   /** Default near-dup config used by the oracle-checked queries. */
@@ -236,11 +243,15 @@ object SparkEntry {
     // validate with allow_full_deletion=true, apply, then re-snapshot the
     // applied state with skip_deduped — fully-deduped and fully-deleted
     // groups vanish; only untouched (invalid-group) duplicates resurface.
+    // Intermediates are localCheckpointed (round 6): `st` is referenced
+    // three times by validateState plus once by appliedState, `v` twice by
+    // appliedState's bad-group flagging — lazily these multiplied the
+    // snapshot/donor subtree into ~126 jobs (guide §2.4/§5).
     "q21_snapshot_round2" -> ((s, dir) => {
       val h = hashed(s, dir)
-      val st = Snapshots.plantedState(h)
-      val v = Snapshots.validateState(Snapshots.editedSnapshot(h), st,
-        allowFullDeletion = true)
+      val st = Snapshots.plantedState(h).localCheckpoint()
+      val v = Snapshots.validateState(Snapshots.editedSnapshot(h).localCheckpoint(), st,
+        allowFullDeletion = true).localCheckpoint()
       Snapshots.snapshotFromState(Snapshots.appliedState(v, st), skipDeduped = true)
     }),
 
@@ -294,7 +305,12 @@ object SparkEntry {
       val cat = graft.sources.ParquetCatalog
       cat.dropAll(s, base)
       cat.writeVersion(s, base, Snapshots.plantedState(h))
-      val v = Snapshots.validateState(Snapshots.editedSnapshot(h), cat.readCanonical(s, base))
+      // edited + validated materialized once (round 6): validateState's
+      // three state references re-read the catalog table (cheap), but the
+      // edited-snapshot subtree and the whole validated plan were re-executed
+      // per downstream reference — ~88 jobs lazily (guide §2.4/§5).
+      val v = Snapshots.validateState(Snapshots.editedSnapshot(h).localCheckpoint(),
+        cat.readCanonical(s, base)).localCheckpoint()
       cat.applyReadModifyWrite(s, base)(cur => Snapshots.appliedState(v, cur))
       cat.readCanonical(s, base).select("rkey", "true_sha", "size", "points_to")
     }),

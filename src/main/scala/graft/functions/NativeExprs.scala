@@ -126,6 +126,31 @@ object NativeExprs {
     org.apache.spark.sql.GraftColumnBridge.column(
       MinHashExpr(org.apache.spark.sql.GraftColumnBridge.expression(shingles), k))
 
+  /** `graft_bands(sig, bands, rowsPerBand)` → per-band LSH bucket hashes
+   *  ([[Shingles.bandHashes]] behind a generated call — same pattern as
+   *  [[MinHashExpr]]; replaces the last ScalaUDF on the near-dup sketch
+   *  path, so shingle → minhash → bands is one unbroken codegen stage). */
+  case class BandHashesExpr(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_bands"
+    override def nullSafeEval(input: Any): Any =
+      UnsafeArrayData.fromPrimitiveArray(
+        Shingles.bandHashes(
+          input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+          bands, rowsPerBand))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+           |  graft.functions.Shingles.bandHashes($c.toLongArray(), $bands, $rowsPerBand));""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+      copy(child = newChild)
+  }
+
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BandHashesExpr(org.apache.spark.sql.GraftColumnBridge.expression(sig), bands, rowsPerBand))
+
   private def litInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
     e.eval(null) match {
@@ -196,6 +221,13 @@ object NativeExprs {
       s"graft_minhash(shingles, k) expects 2 args, got ${args.length}")
   }
 
+  val bandsBuilder: Seq[Expression] => Expression = {
+    case Seq(sig, bands, rows) =>
+      BandHashesExpr(sig, litInt(bands, "bands"), litInt(rows, "rowsPerBand"))
+    case args => throw new IllegalArgumentException(
+      s"graft_bands(sig, bands, rowsPerBand) expects 3 args, got ${args.length}")
+  }
+
   /** The complete SQL surface: one entry per native kernel. Both the
    *  extension injector and the runtime registrar draw from this list, so
    *  neither can drift from the other (round-2 finding: only 2 of 5 were
@@ -211,6 +243,8 @@ object NativeExprs {
       new ExpressionInfo(classOf[LongIntersectExpr].getName, "graft_intersect_n"), intersectBuilder),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashExpr].getName, "graft_minhash"), minhashBuilder),
+    (FunctionIdentifier("graft_bands"),
+      new ExpressionInfo(classOf[BandHashesExpr].getName, "graft_bands"), bandsBuilder),
     (FunctionIdentifier("graft_xxh3_64"),
       new ExpressionInfo(classOf[Xxh3Expr].getName, "graft_xxh3_64"), xxh3Builder))
 

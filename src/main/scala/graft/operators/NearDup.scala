@@ -103,12 +103,6 @@ object NearDup {
 
   private val shingleUdf =
     udf((content: String, n: Int) => Shingles.shingleHashes(content, n))
-  private val minhashUdf =
-    udf((sh: Array[Long], k: Int) => Shingles.minhashSignature(sh, k))
-  private val bandUdf =
-    udf((sig: Array[Long], b: Int, r: Int) => Shingles.bandHashes(sig, b, r))
-  private val jaccardCountUdf =
-    udf((a: Array[Long], b: Array[Long]) => Shingles.intersectionSize(a, b))
 
   /** Per-document shingle sets: `(rkey, shingles: array<long>, n_shingles)`.
    *  Documents with no shingles (< n tokens) are dropped here — they cannot
@@ -122,18 +116,22 @@ object NearDup {
 
   /** [[shingleSets]] over the content-distinct representatives, computed as
    *  project-then-dedup (see [[uniqProjected]]): identical result to
-   *  `shingleSets(dedupedByContent(corpusK))` with no content exchange. */
+   *  `shingleSets(dedupedByContent(corpusK))` with no content exchange.
+   *  The shingle projection is the NATIVE codegen expression (bit-identical
+   *  to the UDF — NativeExprSpec), so the hot per-row hash work stays inside
+   *  whole-stage codegen with no encoder boundary (guide §1.2 step 2). */
   def uniqShingleSets(corpusK: DataFrame, cfg: DedupConfig): DataFrame =
-    uniqProjected(corpusK, shingleUdf(col("content"), lit(cfg.shingleN)))
+    uniqProjected(corpusK, shingleCol(col("content"), cfg.shingleN))
       .select(col("rkey"), col("payload").as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
       .where(col("n_shingles") > 0)
 
-  /** MinHash signatures `(rkey, sig: array<long>[k])`. */
+  /** MinHash signatures `(rkey, sig: array<long>[k])` — native codegen
+   *  expression (bit-identical to the retained UDF; NativeExprSpec). */
   def signatures(shingles: DataFrame, cfg: DedupConfig): DataFrame =
     shingles.select(
       col("rkey"),
-      minhashUdf(col("shingles"), lit(cfg.minhashK)).as("sig"))
+      graft.functions.NativeExprs.minhash(col("shingles"), cfg.minhashK).as("sig"))
 
   /** [[signatures]] keyed by the 64-bit node id (`id` column) instead of the
    *  row-key string — the pipeline-internal form (see [[candidateIdPairs]]). */
@@ -155,14 +153,16 @@ object NearDup {
   def banded(signatures: DataFrame, cfg: DedupConfig): DataFrame =
     signatures.select(
       xxhash64(col("rkey")).as("id"),
-      explode(bandUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand))).as("band_hash"))
+      explode(graft.functions.NativeExprs.bandHashes(
+        col("sig"), cfg.bands, cfg.rowsPerBand)).as("band_hash"))
 
   /** [[banded]] over [[signaturesById]] output — the id column passes through
    *  instead of being derived from the key string. */
   def bandedById(signatures: DataFrame, cfg: DedupConfig): DataFrame =
     signatures.select(
       col("id"),
-      explode(bandUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand))).as("band_hash"))
+      explode(graft.functions.NativeExprs.bandHashes(
+        col("sig"), cfg.bands, cfg.rowsPerBand)).as("band_hash"))
 
   /** [[bandedById]] restricted to the contiguous band range `[bandLo, bandHi)`
    *  — a `slice` of the per-band hash array before the explode. Each band's
@@ -174,7 +174,8 @@ object NearDup {
                       bandLo: Int, bandHi: Int): DataFrame =
     signatures.select(
       col("id"),
-      explode(slice(bandUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)),
+      explode(slice(graft.functions.NativeExprs.bandHashes(
+          col("sig"), cfg.bands, cfg.rowsPerBand),
         bandLo + 1, bandHi - bandLo)).as("band_hash"))
 
   /** Buckets dropped by the skew guard, with sizes — the lineage/metrics view

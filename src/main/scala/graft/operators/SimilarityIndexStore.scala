@@ -70,14 +70,21 @@ object SimilarityIndexStore {
   def buildIvf(spark: SparkSession, catalog: CatalogIO, base: String,
                embeddings: DataFrame, cells: Int = 0, iters: Int = 3): Long = {
     val nCells = if (cells > 0) cells else Similarity.autoCells(embeddings.count())
-    val centroids = Similarity.ivfCentroids(embeddings, nCells, iters)
-    import spark.implicits._
-    val centRows = centroids.zipWithIndex.flatMap { case (cv, c) =>
-      cv.zipWithIndex.map { case (v, pos) => (c, pos, v) }
-    }.toSeq
-    catalog.writeVersion(spark, s"${base}_ivf_cent", centRows.toDF("cell", "pos", "cv"))
-    catalog.writeVersion(spark, s"${base}_ivf_idx",
-      Similarity.ivfIndex(embeddings, centroids))
+    // One persisted normalized table spans the Lloyd build AND the index
+    // assignment write (round 6, guide §5 persist-on-reuse; scoped — both
+    // consumers are actions inside this call).
+    val normed = Similarity.normQuantized(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = Similarity.ivfCentroidsFromNormed(normed, nCells, iters)
+      import spark.implicits._
+      val centRows = centroids.zipWithIndex.flatMap { case (cv, c) =>
+        cv.zipWithIndex.map { case (v, pos) => (c, pos, v) }
+      }.toSeq
+      catalog.writeVersion(spark, s"${base}_ivf_cent", centRows.toDF("cell", "pos", "cv"))
+      catalog.writeVersion(spark, s"${base}_ivf_idx",
+        Similarity.ivfIndexFromNormed(normed, centroids))
+    } finally normed.unpersist(false)
   }
 
   /** Reconstruct the centroid array from its stored `(cell, pos, cv)` rows. */

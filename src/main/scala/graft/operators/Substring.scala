@@ -33,8 +33,73 @@ import graft.model.DedupConfig
  */
 object Substring {
 
-  /** Distinct md5 hexes of all `w`-char windows whose digest ends in '0'. */
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Distinct md5 hexes of all `w`-char windows whose digest ends in '0'.
+   *
+   *  Hot path (round-6, guide §1.2 step 2 / round-5 verdict "What's wrong
+   *  #2"): the naive form allocated a substring + byte encoding + 32-char
+   *  hex string PER WINDOW (with a format-interpolator call per byte). Here
+   *  the content is UTF-8-encoded ONCE with a char→byte offset table, each
+   *  window digest reads a slice of that shared buffer, the 1/16 sampling
+   *  test runs on the RAW last digest byte (`d(15) & 0x0f`), and only the
+   *  ~1/16 surviving digests are hex-rendered. Byte-identical output: a
+   *  substring's UTF-8 encoding equals the corresponding slice of the full
+   *  encoding whenever no UTF-16 surrogate is present (guarded below —
+   *  content containing surrogates takes the per-window reference path,
+   *  where splitting a surrogate pair changes the encoding). */
   def md5SampledGrams(content: String, w: Int): Array[String] = {
+    if (content == null || content.length < w) return Array.empty
+    val n = content.length
+    var hasSurrogate = false
+    var ci = 0
+    while (ci < n && !hasSurrogate) {
+      val c = content.charAt(ci)
+      if (c >= 0xD800 && c <= 0xDFFF) hasSurrogate = true
+      ci += 1
+    }
+    if (hasSurrogate) return md5SampledGramsRef(content, w)
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // off(i) = byte offset of char i in the full encoding (BMP-only content)
+    val off = new Array[Int](n + 1)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      off(i) = o
+      val c = content.charAt(i)
+      o += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+      i += 1
+    }
+    off(n) = o
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = new Array[Byte](16)
+    val out = new java.util.HashSet[String]()
+    i = 0
+    while (i + w <= n) {
+      md.update(bytes, off(i), off(i + w) - off(i))
+      md.digest(digest, 0, 16)
+      if ((digest(15) & 0x0f) == 0) {
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = HexChars((digest(b) >> 4) & 0x0f)
+          hex(2 * b + 1) = HexChars(digest(b) & 0x0f)
+          b += 1
+        }
+        out.add(new String(hex))
+      }
+      i += 1
+    }
+    val arr = new Array[String](out.size)
+    out.toArray(arr)
+    java.util.Arrays.sort(arr, null)
+    arr
+  }
+
+  /** Reference (per-window-encoding) form of [[md5SampledGrams]] — the exact
+   *  oracle contract, kept for surrogate-bearing content and for parity
+   *  testing of the fast path. */
+  private[graft] def md5SampledGramsRef(content: String, w: Int): Array[String] = {
     if (content == null || content.length < w) return Array.empty
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = scala.collection.mutable.SortedSet[String]()
@@ -100,10 +165,11 @@ object Substring {
     corpus.select(col("rkey"),
       explode(rollingUdf(col("content"), lit(cfg.gramWidth), lit(cfg.sampleMask))).as("gram"))
 
-  /** [[rollingGramTable]] over content-distinct representatives. */
+  /** [[rollingGramTable]] over content-distinct representatives — native
+   *  codegen projection (bit-identical to the UDF; NativeExprSpec). */
   def rollingGramTableUniq(corpusK: DataFrame, cfg: DedupConfig): DataFrame =
     NearDup.uniqProjected(corpusK,
-      rollingUdf(col("content"), lit(cfg.gramWidth), lit(cfg.sampleMask)))
+      rollingCol(col("content"), cfg.gramWidth, cfg.sampleMask))
       .select(col("rkey"), explode(col("payload")).as("gram"))
 
   /** Grams shared by too many documents (vendored boilerplate) — dropped from

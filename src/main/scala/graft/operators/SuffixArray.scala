@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -77,23 +78,32 @@ object SuffixArray {
       .withColumn("sid", monotonically_increasing_id())
 
     // Round 0: classes = the literal c0-char prefix (string key shuffles
-    // ONCE; every later round shuffles only longs).
-    val cls0 = suffixes0.groupBy("key0").agg(min(col("sid")).as("cid"))
-    var sfx = suffixes0.join(cls0, "key0")
+    // ONCE; every later round shuffles only longs). `min(sid) OVER
+    // (PARTITION BY key0)` assigns the class id in the same exchange that
+    // groups the class — the former groupBy + join-back spelling paid a
+    // second full-table exchange for identical ids (round 6, guide §2.4).
+    var sfx = suffixes0
+      .withColumn("cid", min(col("sid")).over(Window.partitionBy("key0")))
       .select(col("id"), col("pos"), col("window_start"), col("sid"), col("cid"))
-      .localCheckpoint() // cut the growing iterative lineage, same rule as CC
     var k = c0
     while (2 * k < w) {
-      val next = refineClasses(sfx, k)
-      sfx = next.localCheckpoint()
+      sfx = refineClasses(sfx, k)
       k *= 2
     }
 
     // Overlap combine: first-w equality = (class_k at i, class_k at i+w−k).
-    // k ≥ w/2 by the loop bound, so the two windows cover [i, i+w).
-    val lookup = sfx.select(col("id"), (col("pos") - (w - k)).as("pos"), col("cid").as("cid2"))
-    val windows = sfx.where(col("window_start"))
-      .join(lookup, Seq("id", "pos"))
+    // k ≥ w/2 by the loop bound, so the two windows cover [i, i+w). The
+    // pos+(w−k) lookup is `lead` over the per-doc position order — positions
+    // are contiguous [0, len), so lead(w−k) IS the row at pos+(w−k), and a
+    // window_start row always has one (pos+w ≤ len ⇒ pos+(w−k) ≤ len−k).
+    // The former self-join spelling shuffled the full position table twice
+    // per lookup; with lead + the window-min rounds the whole pass is one
+    // linear plan (no per-round localCheckpoint jobs — lineage grows by two
+    // window nodes per round, not exponentially like the join form).
+    val windows = sfx
+      .withColumn("cid2", lead(col("cid"), w - k).over(
+        Window.partitionBy("id").orderBy("pos")))
+      .where(col("window_start"))
       .select(col("cid"), col("cid2"), col("id"))
       .distinct() // many positions of one doc may share a window class
 
@@ -113,15 +123,19 @@ object SuffixArray {
   /** One doubling round: `class_2k(i) = (class_k(i), class_k(i+k))`, new
    *  ids = min(sid) per composite class. A suffix with no row at pos+k
    *  (shorter than k+|rest|) keeps class2 = −1 — the standard
-   *  "virtual end-of-string sentinel" branch. */
+   *  "virtual end-of-string sentinel" branch.
+   *
+   *  Round 6 shape: the pos+k lookup is `lead(cid, k)` over the per-doc
+   *  position order (positions are contiguous, so the row k places later IS
+   *  pos+k; null past the end → the −1 sentinel), and the new class id is
+   *  `min(sid)` as a window over the composite key — two exchanges per round
+   *  (id, then (cid, cid2)) where the join spelling paid four plus an
+   *  aggregation (guide §2.4: same keys, one exchange). */
   private def refineClasses(sfx: DataFrame, k: Int): DataFrame = {
-    val at = sfx.select(col("id"), (col("pos") - k).as("pos"), col("cid").as("cidk"))
-    val paired = sfx.join(at, Seq("id", "pos"), "left_outer")
-      .select(col("id"), col("pos"), col("window_start"), col("sid"),
-        col("cid"), coalesce(col("cidk"), lit(-1L)).as("cid2"))
-    val cls = paired.groupBy("cid", "cid2").agg(min(col("sid")).as("ncid"))
-    paired.join(cls, Seq("cid", "cid2"))
-      .select(col("id"), col("pos"), col("window_start"), col("sid"),
-        col("ncid").as("cid"))
+    sfx
+      .withColumn("cid2", coalesce(
+        lead(col("cid"), k).over(Window.partitionBy("id").orderBy("pos")), lit(-1L)))
+      .withColumn("cid", min(col("sid")).over(Window.partitionBy("cid", "cid2")))
+      .select(col("id"), col("pos"), col("window_start"), col("sid"), col("cid"))
   }
 }

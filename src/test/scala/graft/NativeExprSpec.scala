@@ -18,6 +18,7 @@ class NativeExprSpec extends AnyFunSuite {
     val shingleUdf = udf((c: String) => Shingles.shingleHashes(c, 5))
     val rollUdf = udf((c: String) => Substring.rollingFingerprints(c, 48, 63L))
     val minhashUdf = udf((sh: Array[Long]) => Shingles.minhashSignature(sh, 128))
+    val bandUdf = udf((sig: Array[Long]) => Shingles.bandHashes(sig, 64, 2))
     val both = corpus.select(
       NativeExprs.shingleHashes(col("content"), 5).as("sn"),
       shingleUdf(col("content")).as("su"),
@@ -25,13 +26,15 @@ class NativeExprSpec extends AnyFunSuite {
       rollUdf(col("content")).as("ru"))
       .withColumn("mn", NativeExprs.minhash(col("sn"), 128))
       .withColumn("mu", minhashUdf(col("su")))
+      .withColumn("bn", NativeExprs.bandHashes(col("mn"), 64, 2))
+      .withColumn("bu", bandUdf(col("mu")))
     val bad = both.where(col("sn") =!= col("su") || col("rn") =!= col("ru") ||
-      col("mn") =!= col("mu")).count()
+      col("mn") =!= col("mu") || col("bn") =!= col("bu")).count()
     assert(bad === 0L)
     assert(both.count() >= 200L) // synthetic(200) plants extra duplicate rows
   }
 
-  test("ALL six native functions are SQL-registered and evaluate (registry + extensions)") {
+  test("ALL seven native functions are SQL-registered and evaluate (registry + extensions)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT graft_shingles('a b c d e f g', 5) AS s, graft_rolling_fp('" +
@@ -39,6 +42,7 @@ class NativeExprSpec extends AnyFunSuite {
         "graft_dotl(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +
         "graft_intersect_n(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS i, " +
         "graft_minhash(graft_shingles('a b c d e f g', 5), 16) AS m, " +
+        "graft_bands(graft_minhash(graft_shingles('a b c d e f g', 5), 16), 8, 2) AS b, " +
         "graft_xxh3_64('') AS x3").collect().head
     assert(r.getSeq[Long](0) === Shingles.shingleHashes("a b c d e f g", 5).toSeq)
     assert(r.getSeq[Long](1) === Substring.rollingFingerprints("x" * 60, 48, 0L).toSeq)
@@ -46,11 +50,14 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.getLong(3) === 2L)
     assert(r.getSeq[Long](4) ===
       Shingles.minhashSignature(Shingles.shingleHashes("a b c d e f g", 5), 16).toSeq)
-    assert(r.getLong(5) === 0x2D06800538D394C2L)
+    assert(r.getSeq[Long](5) ===
+      Shingles.bandHashes(
+        Shingles.minhashSignature(Shingles.shingleHashes("a b c d e f g", 5), 16), 8, 2).toSeq)
+    assert(r.getLong(6) === 0x2D06800538D394C2L)
     // the extension injector draws from the SAME function list — the two
     // surfaces cannot drift (round-2 finding: only 2 of 5 were registered)
     assert(graft.functions.NativeExprs.sqlFunctions.map(_._1.funcName).sorted ===
-      Seq("graft_dotl", "graft_intersect_n", "graft_minhash",
+      Seq("graft_bands", "graft_dotl", "graft_intersect_n", "graft_minhash",
         "graft_rolling_fp", "graft_shingles", "graft_xxh3_64"))
     val ext = new graft.functions.GraftExtensions
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])

@@ -23,6 +23,21 @@ class SubstringSpec extends AnyFunSuite {
     assert(f1.intersect(f2).nonEmpty, "shared block must select common fingerprints")
   }
 
+  test("md5SampledGrams fast path ≡ per-window reference (incl. multi-byte and surrogate content)") {
+    val samples = local.take(40).map(_.content) ++ Seq(
+      null, "", "x" * 47, "y" * 48,
+      // multi-byte BMP chars (2- and 3-byte UTF-8) inside and across windows
+      ("café codepoints 一二三 " * 12),
+      // supplementary chars (surrogate pairs) — must route to the reference path
+      ("emoji 😀 mixed content here padding " * 8),
+      // lone surrogate at a window edge
+      ("z" * 47) + "\ud800" + ("w" * 47))
+    samples.foreach { c =>
+      assert(Substring.md5SampledGrams(c, 48).toSeq ===
+        Substring.md5SampledGramsRef(c, 48).toSeq, s"mismatch for ${String.valueOf(c).take(40)}")
+    }
+  }
+
   test("substringPairs matches brute-force oracle exactly") {
     // oracle over distinct-content representatives (min key per content)
     val fps = local.groupBy(_.content).map { case (c, fs) =>
