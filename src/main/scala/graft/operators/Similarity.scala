@@ -128,13 +128,16 @@ object Similarity {
       val hotRows = annHotBuckets(idx, maxBucketSize).collect()
       if (hotRows.nonEmpty)
         onDrop(hotRows.length.toLong, hotRows.map(_.getAs[Long]("count")).sum)
-      val hot = broadcast(
+      // Empty hot set (the common case): the anti-joins are identities, so
+      // skip them — each otherwise costs a broadcast-exchange job and plan
+      // surface for nothing (round 6, guide §2.4).
+      val hot = if (hotRows.isEmpty) None else Some(broadcast(
         hotRows.map(r => (r.getAs[Int]("table"), r.getAs[Long]("bucket"))).toSeq
-          .toDF("table", "bucket"))
-      val idxOk = idx.join(hot, Seq("table", "bucket"), "left_anti")
+          .toDF("table", "bucket")))
+      val idxOk = hot.fold(idx)(h => idx.join(h, Seq("table", "bucket"), "left_anti"))
         .repartition(col("table"), col("bucket"))
-      val probes = annProbes(embeddings, tables, b)
-        .join(hot, Seq("table", "bucket"), "left_anti")
+      val probes0 = annProbes(embeddings, tables, b)
+      val probes = hot.fold(probes0)(h => probes0.join(h, Seq("table", "bucket"), "left_anti"))
       val cand = probes.as("a").join(idxOk.as("b"),
           col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") =!= col("b.vec_id"))
@@ -201,7 +204,7 @@ object Similarity {
   /** Sign-bit sketch UDF over the QUANTIZED vector: for each of `tables`, a
    *  `bits`-bit bucket id from exact integer dot signs. */
   private def bucketsUdfQ(tables: Int, bits: Int, dims: Int, planes: Array[Long]) =
-    udf((v: Seq[Long]) => {
+    udf((v: Array[Long]) => {
       val out = new Array[Long](tables)
       val n = math.min(v.length, dims)
       var t = 0
@@ -241,7 +244,7 @@ object Similarity {
     // the index was built with, not planes re-derived from itself)
     val dims = if (dims0 > 0) dims0 else dimsOf(embeddings)
     val planes = planesFor(tables, bits, dims)
-    val probesUdf = udf((v: Seq[Long]) => {
+    val probesUdf = udf((v: Array[Long]) => {
       val base = new Array[Long](tables)
       val n = math.min(v.length, dims)
       // same sketch as bucketsUdfQ
@@ -347,13 +350,15 @@ object Similarity {
       if (hotRows.nonEmpty)
         onDrop(hotRows.length.toLong, hotRows.map(_.getAs[Long]("count")).sum)
       import spark.implicits._
-      val hot = broadcast(
+      // Empty hot set → the anti-joins are identities; skip their broadcast
+      // jobs and plan surface (round 6, guide §2.4).
+      val hot = if (hotRows.isEmpty) None else Some(broadcast(
         hotRows.map(r => (r.getAs[Int]("table"), r.getAs[Long]("bucket"))).toSeq
-          .toDF("table", "bucket"))
-      val idxOk = idx.join(hot, Seq("table", "bucket"), "left_anti")
+          .toDF("table", "bucket")))
+      val idxOk = hot.fold(idx)(h => idx.join(h, Seq("table", "bucket"), "left_anti"))
         .repartition(col("table"), col("bucket"))
-      val probes = annProbes(embeddings, tables, bits, dims0)
-        .join(hot, Seq("table", "bucket"), "left_anti")
+      val probes0 = annProbes(embeddings, tables, bits, dims0)
+      val probes = hot.fold(probes0)(h => probes0.join(h, Seq("table", "bucket"), "left_anti"))
       val cand = probes.as("a").join(idxOk.as("b"),
           col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") =!= col("b.vec_id"))
@@ -471,7 +476,7 @@ object Similarity {
   /** Nearest-centroid assignment (exact integer squared L2 on the
    *  normalized-quantized points ⇔ cosine order; ties → lower cell index). */
   private def assignCellUdf(centroids: Array[Array[Long]]) =
-    udf((v: Seq[Long]) => {
+    udf((v: Array[Long]) => {
       var best = 0
       var bestD = Long.MaxValue
       var c = 0
@@ -491,7 +496,7 @@ object Similarity {
   /** `nprobe` nearest cells per vector (query-side probe list; exact
    *  integer distances, ties → lower cell index). */
   private def probeCellsUdf(centroids: Array[Array[Long]], nprobe: Int) =
-    udf((v: Seq[Long]) => {
+    udf((v: Array[Long]) => {
       val ds = centroids.indices.map { c =>
         val ctr = centroids(c)
         var d = 0L
@@ -576,12 +581,14 @@ object Similarity {
       if (hotRows.nonEmpty)
         onDrop(hotRows.length.toLong, hotRows.map(_.getAs[Long]("count")).sum)
       import spark.implicits._
-      val hot = broadcast(
-        hotRows.map(_.getAs[Int]("cell")).toSeq.toDF("cell"))
-      val idxOk = idx.join(hot, Seq("cell"), "left_anti").repartition(col("cell"))
-      val probes = normed.select(col("vec_id"),
-          explode(probeCellsUdf(centroids, nProbe)(col("nq"))).as("cell"))
-        .join(hot, Seq("cell"), "left_anti")
+      // Empty hot set → anti-joins are identities; skip them (guide §2.4).
+      val hot = if (hotRows.isEmpty) None else Some(broadcast(
+        hotRows.map(_.getAs[Int]("cell")).toSeq.toDF("cell")))
+      val idxOk = hot.fold(idx)(h => idx.join(h, Seq("cell"), "left_anti"))
+        .repartition(col("cell"))
+      val probes0 = normed.select(col("vec_id"),
+        explode(probeCellsUdf(centroids, nProbe)(col("nq"))).as("cell"))
+      val probes = hot.fold(probes0)(h => probes0.join(h, Seq("cell"), "left_anti"))
       val cand = probes.as("a").join(idxOk.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))

@@ -54,8 +54,11 @@ object SimilarityIndexStore {
               onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     val meta = catalog.readCanonical(spark, s"${base}_ann_meta").head()
     val dims = meta.getAs[Int]("dims")
-    if (!queries.isEmpty) {
-      val qDims = Similarity.dimsOf(queries)
+    // One action covers both the emptiness and the dims check (round 6: the
+    // former isEmpty + dimsOf pair ran two jobs for one answer).
+    queries.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")))
+      .take(1).headOption.map(_.getInt(0)).foreach { qDims =>
       require(qDims == dims,
         s"query vectors have $qDims dims but index '$base' was built over $dims-dim vectors")
     }

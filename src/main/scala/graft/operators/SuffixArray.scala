@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
  *    final window-of-w equality is the standard overlapping-windows trick
  *    (as in sparse-table RMQ): first-w equality ⟺ `class_k(i) = class_k(j)
  *    ∧ class_k(i+w−k) = class_k(j+w−k)` for any k ≥ w/2. Rounds are
- *    ⌈log₂(w/c0)⌉ — 3 for the default w=48 — not log of corpus length.
+ *    ⌈log₂(w/c0)⌉ — one doubling round at the default w=48 (c0 = w/4; see
+ *    the seed-width note in [[windowClassPairs]]) — not log of corpus
+ *    length.
  *
  * Scale shape: the suffix table is one row per character position —
  * O(total content bytes) rows of `(doc, pos, sid, class)` longs. That IS
@@ -61,7 +63,13 @@ object SuffixArray {
                        onDrop: Long => Unit = _ => ()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val c0 = math.min(8, w)
+    // Round-0 seed width: the largest literal-prefix seed that still leaves
+    // a genuine doubling round (c0 = w/4 doubles once to w/2, the combine
+    // minimum). Round 0 is ONE string-keyed window where a doubling round
+    // costs two full-table exchanges — so seeding wider is strictly fewer
+    // passes at any corpus size (guide §1.2 step 1 / §2.4); floor 8 keeps
+    // tiny widths on the former behavior.
+    val c0 = math.min(math.max(8, w / 4), w)
 
     // Suffix table over ALL positions (not just window starts): the pos+k
     // lookups of later rounds reach up to len-1, and a pruned row there

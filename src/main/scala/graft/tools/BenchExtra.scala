@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -63,6 +63,16 @@ object BenchExtra {
             f"[benchx.job] id=${je.jobId}%-4d ${(System.nanoTime() - t0) / 1e9}%7.2f s  $desc")
         }
       }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (sys.env.get("BENCHX_STAGES").contains("1")) {
+          val si = sc.stageInfo
+          val wall = for (a <- si.submissionTime; b <- si.completionTime) yield (b - a) / 1e3
+          System.err.println(
+            f"[benchx.stage] id=${si.stageId}%-4d wall=${wall.getOrElse(-1.0)}%6.2f s tasks=${si.numTasks}%-4d " +
+              f"taskTime=${si.taskMetrics.executorRunTime / 1e3}%6.2f s " +
+              f"shufWriteMs=${si.taskMetrics.shuffleWriteMetrics.writeTime / 1e6} " +
+              f"name=${si.name.take(60)}")
+        }
     })
 
     val wanted =
