@@ -136,7 +136,8 @@ object Similarity {
           .toDF("table", "bucket")))
       val idxOk = hot.fold(idx)(h => idx.join(h, Seq("table", "bucket"), "left_anti"))
         .repartition(col("table"), col("bucket"))
-      val probes0 = annProbes(embeddings, tables, b)
+      // self-query by construction: probes derive from the persisted index
+      val probes0 = annProbesFromIndex(idx, b)
       val probes = hot.fold(probes0)(h => probes0.join(h, Seq("table", "bucket"), "left_anti"))
       val cand = probes.as("a").join(idxOk.as("b"),
           col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
@@ -279,6 +280,18 @@ object Similarity {
       .select(col("vec_id"), (col("pos") / (bits + 1)).cast("int").as("table"), col("bucket"))
   }
 
+  /** Multi-probe buckets DERIVED FROM THE INDEX — valid exactly when the
+   *  query batch IS the indexed corpus (the self-query ANN shape of
+   *  [[annTopK]]/[[lshCosinePairs]]): the base bucket is the index row and
+   *  every 1-bit flip is a column-level XOR, so the probe table costs zero
+   *  re-sketching (the [[annProbes]] UDF recomputes all tables·bits·dims
+   *  dot products per vector). Bit-identical to [[annProbes]] on the same
+   *  vectors — it is the same construction the q18/q36 oracles replay. */
+  private def annProbesFromIndex(idx: DataFrame, bits: Int): DataFrame =
+    idx.select(col("vec_id"), col("table"),
+      explode(array(col("bucket") +:
+        (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+
   /** Buckets over the skew cap — dropped from candidate generation and
    *  reported (same stop-bucket rule as the MinHash LSH stage). */
   def annHotBuckets(idx: DataFrame, maxBucketSize: Int): DataFrame =
@@ -320,7 +333,7 @@ object Similarity {
               onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     val b = if (bits > 0) bits else autoBits(embeddings.count(), maxBucketSize)
     annTopKFromIndex(embeddings, annIndex(embeddings, tables, b), k, tables, b,
-      maxBucketSize, onDrop)
+      maxBucketSize, onDrop, selfQuery = true)
   }
 
   /** [[annTopK]] over a PREBUILT `(vec_id, table, bucket)` index — the
@@ -332,7 +345,7 @@ object Similarity {
   def annTopKFromIndex(embeddings: DataFrame, idx0: DataFrame, k: Int,
                        tables: Int, bits: Int, maxBucketSize: Int = 4096,
                        onDrop: (Long, Long) => Unit = (_, _) => (),
-                       dims0: Int = 0): DataFrame = {
+                       dims0: Int = 0, selfQuery: Boolean = false): DataFrame = {
     // Hot-bucket accounting: COLLECT the over-cap set (tiny — ≤ n/cap rows,
     // ≈244k at 10⁹ vectors/cap 4096) in ONE action, report the drops from
     // it, and re-broadcast it as a local table — the alternative (a count
@@ -357,7 +370,13 @@ object Similarity {
           .toDF("table", "bucket")))
       val idxOk = hot.fold(idx)(h => idx.join(h, Seq("table", "bucket"), "left_anti"))
         .repartition(col("table"), col("bucket"))
-      val probes0 = annProbes(embeddings, tables, bits, dims0)
+      // `selfQuery` (the rebuild path, where the query batch IS the indexed
+      // corpus): probes derive from the persisted index — no second sketch
+      // pass. Arbitrary query batches (the stored-index path) sketch with
+      // the UDF against the build-corpus planes as before.
+      val probes0 =
+        if (selfQuery) annProbesFromIndex(idx, bits)
+        else annProbes(embeddings, tables, bits, dims0)
       val probes = hot.fold(probes0)(h => probes0.join(h, Seq("table", "bucket"), "left_anti"))
       val cand = probes.as("a").join(idxOk.as("b"),
           col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
