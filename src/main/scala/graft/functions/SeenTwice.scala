@@ -303,9 +303,13 @@ object SeenTwice {
       }
       (o1, t1)
     }
-    val merged = partials.reduceByKey(mergePair, math.min(nShards, 64)).collect()
+    // Drop the 'once' half BEFORE the collect (round-5 ADVICE): only the
+    // 'twice' bitsets are the sketch — collecting both halves doubled the
+    // driver's transient footprint to ~8 GB at the documented 2^35-slot cap.
+    val merged = partials.reduceByKey(mergePair, math.min(nShards, 64))
+      .mapValues(_._2).collect()
     val out = Array.fill(nShards)(new Array[Long](nWords))
-    merged.foreach { case (sh, (_, twice)) => out(sh) = twice }
+    merged.foreach { case (sh, twice) => out(sh) = twice }
     out
   }
 
