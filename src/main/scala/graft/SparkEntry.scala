@@ -218,7 +218,12 @@ object SparkEntry {
     // in single-batch mode over the same corpus, candidates verified with
     // the batch exact-Jaccard tail. Multi-batch ≡ static parity is proven
     // in NearDupStreamSpec; the verified output is q06's pair set exactly,
-    // so q06's oracle applies verbatim.
+    // so q06's oracle applies verbatim. That aliasing additionally assumes
+    // the LSH bucket cap never binds at the declared SFs (it does not —
+    // q06's skew report is empty there): when a bucket DOES overflow, the
+    // streaming prefix-emit keeps the first `cap` arrivals' pairs while the
+    // batch scan drops the whole run, a declared superset, and the shared
+    // oracle would need the batch drop rule replayed.
     "q37_stream_near_pairs" -> ((s, dir) => {
       val k = corpusWithKey(s, dir)
       val cand = graft.streaming.NearDupStream.candidateIdPairs(k, cfg).toDF().distinct()
@@ -286,6 +291,10 @@ object SparkEntry {
     // the same 0.4 threshold. The rows are the LSH-recalled subset of q24's,
     // by design: recall at this config is ~0.97 at cos 0.5 and ~1 at real
     // near-dup levels (cos ≥ 0.9), governed by tables×bits as in q18.
+    // Oracle-validity bound (same as q18's): the DuckDB oracle hardcodes
+    // 8 bits / 16 tables, which matches autoBits(n, 4096) only while
+    // n ≤ 2^8·4096/4 = 262,144 vectors — every declared SF is far below;
+    // a larger corpus must pin bits=8 here or regenerate the oracle.
     "q36_embed_lsh_pairs" -> ((s, dir) =>
       Similarity.lshCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.4,
         onDrop = (b, m) => System.err.println(

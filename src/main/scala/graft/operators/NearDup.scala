@@ -244,13 +244,21 @@ object NearDup {
    *  - no candidate pair can span two ranges, so the per-range raw pair
    *    streams union losslessly and dedup ONCE.
    *
-   * Each range's pairs MATERIALIZE to `<rangeDir>/range_<i>` before the next
-   * range's sketch is built: exactly one sketch broadcast is live at a time
-   * (released as soon as its range lands), and a killed run resumes from
-   * completed ranges — the parquet `_SUCCESS` marker is the done-flag, the
-   * same contract as stage checkpoints (north_rule: resumable from
-   * checkpoint). The ranges are internal state of the candidates stage; the
-   * caller still owns the stage-level checkpoint of the deduped union.
+   * Each range's pairs MATERIALIZE to `<rangeDir>/range_<i>of<n>_b<bands>`
+   * before the next range's sketch is built: exactly one sketch broadcast is
+   * live at a time (released as soon as its range lands), and a killed run
+   * resumes from completed ranges — the parquet `_SUCCESS` marker is the
+   * done-flag, the same contract as stage checkpoints (north_rule: resumable
+   * from checkpoint). The path encodes the range GEOMETRY (`nRanges` and
+   * `cfg.bands`, which together determine every `lo..hi` slice), so a runDir
+   * reused after a corpus-size or band-count change can never silently
+   * restore a stale range covering different bands — geometry-mismatched
+   * files are simply not found and the range recomputes. Note the resume
+   * caveat that remains by design: `onDrop` accounting is skipped for
+   * restored ranges, so dropped-bucket metrics undercount on a resumed run
+   * (the pairs themselves are exact). The ranges are internal state of the
+   * candidates stage; the caller still owns the stage-level checkpoint of
+   * the deduped union.
    */
   def candidateIdPairsBandRanged(signatures: DataFrame, cfg: DedupConfig,
                                  rangeDir: String,
@@ -262,10 +270,11 @@ object NearDup {
       math.max(1L, (bandRows + cfg.pruneShardedMaxRows - 1) / cfg.pruneShardedMaxRows)).toInt
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(rangeDir), spark.sparkContext.hadoopConfiguration)
+    def rangePath(r: Int) = s"$rangeDir/range_${r}of${nRanges}_b${cfg.bands}"
     (0 until nRanges).foreach { r =>
       val lo = r * cfg.bands / nRanges
       val hi = (r + 1) * cfg.bands / nRanges
-      val path = s"$rangeDir/range_$r"
+      val path = rangePath(r)
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) {
         val t0 = System.nanoTime()
         val (pruned, release) = graft.functions.SeenTwice.pruneAuto(
@@ -280,7 +289,7 @@ object NearDup {
       } else System.err.println(
         s"[graft.stage] candidates range $r/$nRanges restored from checkpoint")
     }
-    spark.read.parquet((0 until nRanges).map(r => s"$rangeDir/range_$r"): _*)
+    spark.read.parquet((0 until nRanges).map(rangePath): _*)
       .distinct()
   }
 

@@ -52,7 +52,14 @@ object SimilarityIndexStore {
   def annTopK(spark: SparkSession, catalog: CatalogIO, base: String,
               queries: DataFrame, k: Int = 5, maxBucketSize: Int = 4096,
               onDrop: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
-    val meta = catalog.readCanonical(spark, s"${base}_ann_meta").head()
+    val metaDf = catalog.readCanonical(spark, s"${base}_ann_meta")
+    // Indexes persisted before the 'dims' column existed cannot be queried
+    // safely (the plane table is a function of dims); fail with a rebuild
+    // instruction instead of an opaque field-not-found (round-5 ADVICE).
+    require(metaDf.columns.contains("dims"),
+      s"index '$base' predates the recorded-dims format (no 'dims' in ${base}_ann_meta); " +
+        "rebuild it with buildAnn before querying")
+    val meta = metaDf.head()
     val dims = meta.getAs[Int]("dims")
     // One action covers both the emptiness and the dims check (round 6: the
     // former isEmpty + dimsOf pair ran two jobs for one answer).
